@@ -1,0 +1,309 @@
+"""NodeEdgeNet denoiser on dense padded complete graphs.
+
+TPU-first redesign of the reference NodeEdgeNet
+(`/root/reference/models/graph.py:10-396`). The reference operates on a flat
+ragged edge list with torch_scatter segment sums; molecules are *complete
+graphs* (all atom pairs are edges), so here edges live in a dense
+``[B, N, N, H]`` tensor where (i, j) is the directed edge i <- j:
+
+  * gather ``x[col]``            -> broadcast over axis 1,
+  * ``scatter_sum(msg, row)``    -> ``msg.sum(axis=2)``,
+  * edge symmetrization          -> ``h + h.transpose(0, 2, 1, 3)``.
+
+Every op is a batched matmul, broadcast, or reduction — no scatter/gather —
+which maps directly onto the MXU/VPU and lets XLA fuse the elementwise
+chains. Padding is handled by a pair mask (both endpoints real and i != j);
+masked pairs contribute exactly zero to every reduction, so real outputs are
+invariant to padding (tested in tests/test_padding.py).
+
+Blocks (parity with reference):
+  NodeBlock  graph.py:10-55    gated edge->node messages + centroid linear
+  EdgeBlock  graph.py:251-295  two BondFFNs aggregated through shared endpoints
+  BondFFN    graph.py:122-141  bilinear bond-node fuse with sigmoid gate
+  PosUpdate  graph.py:377-396  E(3)-equivariant position update
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .nn import (
+    GaussianSmearing,
+    init_layernorm,
+    init_linear,
+    init_mlp,
+    layernorm,
+    linear,
+    mlp,
+    safe_distance,
+)
+
+
+# ---------------------------------------------------------------------------
+# sub-blocks
+# ---------------------------------------------------------------------------
+
+def init_node_block(key, node_dim, edge_dim, hidden_dim, use_gate):
+    ks = jax.random.split(key, 6)
+    p = {
+        "node_net": init_mlp(ks[0], node_dim, hidden_dim, hidden_dim),
+        "edge_net": init_mlp(ks[1], edge_dim, hidden_dim, hidden_dim),
+        "msg_net": init_linear(ks[2], hidden_dim, hidden_dim),
+        "centroid_lin": init_linear(ks[3], node_dim, hidden_dim),
+        "ln": init_layernorm(hidden_dim),
+        "out": init_linear(ks[4], hidden_dim, node_dim),
+    }
+    if use_gate:
+        p["gate"] = init_mlp(ks[5], edge_dim + node_dim + 1, hidden_dim, hidden_dim)
+    return p
+
+
+def node_block(p, x, edge_attr, node_time, pair_mask):
+    """x: [B,N,Dn], edge_attr: [B,N,N,De], node_time: [B,1,1], pair_mask: [B,N,N].
+
+    Reference graph.py:29-55. Row (receiver) = axis 1, col (sender) = axis 2.
+    """
+    h_node = mlp(p["node_net"], x)                      # [B,N,H]
+    h_edge = mlp(p["edge_net"], edge_attr)              # [B,N,N,H]
+    msg = linear(p["msg_net"], h_edge * h_node[:, None, :, :])
+    if "gate" in p:
+        b, n = x.shape[0], x.shape[1]
+        gate_in = jnp.concatenate(
+            [
+                edge_attr,
+                jnp.broadcast_to(x[:, None, :, :], (b, n, n, x.shape[-1])),
+                jnp.broadcast_to(node_time[:, :, :, None], (b, n, n, 1)),
+            ],
+            axis=-1,
+        )
+        msg = msg * jax.nn.sigmoid(mlp(p["gate"], gate_in))
+    msg = msg * pair_mask[..., None]
+    aggr = jnp.sum(msg, axis=2)                          # scatter_sum over row
+    out = linear(p["centroid_lin"], x) + aggr
+    out = layernorm(p["ln"], out)
+    return linear(p["out"], jax.nn.relu(out))
+
+
+def init_bond_ffn(key, bond_dim, node_dim, inter_dim, use_gate, out_dim=None):
+    out_dim = bond_dim if out_dim is None else out_dim
+    ks = jax.random.split(key, 4)
+    p = {
+        "bond_linear": init_linear(ks[0], bond_dim, inter_dim, bias=False),
+        "node_linear": init_linear(ks[1], node_dim, inter_dim, bias=False),
+        "inter": init_mlp(ks[2], inter_dim, out_dim, inter_dim),
+    }
+    if use_gate:
+        p["gate"] = init_mlp(ks[3], bond_dim + node_dim + 1, out_dim, 32)
+    return p
+
+
+def bond_ffn(p, bond_feat_in, node_feat_in, time):
+    """Bilinear bond-node fuse (reference graph.py:133-141).
+
+    bond_feat_in: [B,N,N,Db]; node_feat_in broadcastable to [B,N,N,Dn];
+    time broadcastable to [B,N,N,1].
+    """
+    while time.ndim < bond_feat_in.ndim:
+        time = time[..., None]
+    inter = linear(p["bond_linear"], bond_feat_in) * linear(p["node_linear"], node_feat_in)
+    inter = mlp(p["inter"], inter)
+    if "gate" in p:
+        shape = jnp.broadcast_shapes(bond_feat_in.shape[:-1], node_feat_in.shape[:-1])
+        gate_in = jnp.concatenate(
+            [
+                jnp.broadcast_to(bond_feat_in, shape + bond_feat_in.shape[-1:]),
+                jnp.broadcast_to(node_feat_in, shape + node_feat_in.shape[-1:]),
+                jnp.broadcast_to(time, shape + (1,)),
+            ],
+            axis=-1,
+        )
+        inter = inter * jax.nn.sigmoid(mlp(p["gate"], gate_in))
+    return inter
+
+
+def init_edge_block(key, edge_dim, node_dim, use_gate):
+    inter_dim = edge_dim * 2
+    ks = jax.random.split(key, 7)
+    return {
+        "bond_ffn_left": init_bond_ffn(ks[0], edge_dim, node_dim, inter_dim, use_gate),
+        "bond_ffn_right": init_bond_ffn(ks[1], edge_dim, node_dim, inter_dim, use_gate),
+        "node_ffn_left": init_linear(ks[2], node_dim, edge_dim),
+        "node_ffn_right": init_linear(ks[3], node_dim, edge_dim),
+        "self_ffn": init_linear(ks[4], edge_dim, edge_dim),
+        "ln": init_layernorm(edge_dim),
+        "out": init_linear(ks[5], edge_dim, edge_dim),
+    }
+
+
+def edge_block(p, h_bond, h_node, bond_time, pair_mask):
+    """h_bond: [B,N,N,De] directed edge (i<-j is [b,i,j]); h_node: [B,N,Dn].
+
+    Reference graph.py:268-295: edge<->edge interaction through shared
+    endpoints. For edge e=(left=i, right=j):
+      msg_left  = BondFFN(h_bond, h_node[left]);  T[k] = sum_{e: right=k} msg_left[e];
+                  out[e] = T[left(e)]   -> dense: T = sum over axis1, out[i,j] = T[i]
+      msg_right = BondFFN(h_bond, h_node[right]); U[k] = sum_{e: left=k} msg_right[e];
+                  out[e] = U[right(e)]  -> dense: U = sum over axis2, out[i,j] = U[j]
+    """
+    mask = pair_mask[..., None]
+    h_left = h_node[:, :, None, :]   # node at left/row index i
+    h_right = h_node[:, None, :, :]  # node at right/col index j
+
+    msg_left = bond_ffn(p["bond_ffn_left"], h_bond, h_left, bond_time) * mask
+    t_per_node = jnp.sum(msg_left, axis=1)                 # [B,N,De], indexed by right
+    msg_left_out = t_per_node[:, :, None, :]               # gather back by left index
+
+    msg_right = bond_ffn(p["bond_ffn_right"], h_bond, h_right, bond_time) * mask
+    u_per_node = jnp.sum(msg_right, axis=2)                # [B,N,De], indexed by left
+    msg_right_out = u_per_node[:, None, :, :]              # gather back by right index
+
+    h = (
+        msg_left_out
+        + msg_right_out
+        + linear(p["node_ffn_left"], h_left)
+        + linear(p["node_ffn_right"], h_right)
+        + linear(p["self_ffn"], h_bond)
+    )
+    h = layernorm(p["ln"], h)
+    return linear(p["out"], jax.nn.relu(h))
+
+
+def init_pos_update(key, node_dim, edge_dim, hidden_dim, use_gate):
+    ks = jax.random.split(key, 3)
+    return {
+        "left_lin_edge": init_mlp(ks[0], node_dim, edge_dim, hidden_dim),
+        "right_lin_edge": init_mlp(ks[1], node_dim, edge_dim, hidden_dim),
+        "edge_lin": init_bond_ffn(ks[2], edge_dim, edge_dim, node_dim, use_gate, out_dim=1),
+    }
+
+
+def pos_update(p, h_node, h_edge, rel_vec, distance, edge_time, pair_mask):
+    """E(3)-equivariant position delta (reference graph.py:384-396).
+
+    rel_vec[b,i,j] = pos[i] - pos[j]; per-edge scalar weight * unit-ish vector,
+    aggregated over senders j for each receiver i.
+    """
+    left_feat = mlp(p["left_lin_edge"], h_node)[:, :, None, :]
+    right_feat = mlp(p["right_lin_edge"], h_node)[:, None, :, :]
+    weight = bond_ffn(p["edge_lin"], h_edge, left_feat * right_feat, edge_time)  # [B,N,N,1]
+
+    d = distance[..., None]
+    d_safe = jnp.where(pair_mask[..., None], d, 1.0)
+    force = weight * rel_vec / d_safe / (d_safe + 1.0)
+    force = force * pair_mask[..., None]
+    return jnp.sum(force, axis=2)  # scatter_sum over left index i
+
+
+# ---------------------------------------------------------------------------
+# NodeEdgeNet
+# ---------------------------------------------------------------------------
+
+def denoiser_static_config(
+    num_blocks: int,
+    cutoff: float,
+    use_gate: bool,
+    update_edge: bool = True,
+    update_pos: bool = True,
+    num_gaussians: int = 16,
+    start: float = 0.0,
+    **_unused,
+) -> dict:
+    """Static (non-trainable) architecture config; defaults mirror the
+    reference kwargs handling (graph.py:308-327)."""
+    return {
+        "num_blocks": num_blocks,
+        "cutoff": float(cutoff),
+        "use_gate": use_gate,
+        "update_edge": update_edge,
+        "update_pos": update_pos,
+        "num_gaussians": num_gaussians,
+        "start": float(start),
+    }
+
+
+def init_node_edge_net(key, node_dim: int, edge_dim: int, **denoiser_cfg):
+    """Reference graph.py:298-346. Returns (params, static_config)."""
+    static = denoiser_static_config(**denoiser_cfg)
+    num_blocks = static["num_blocks"]
+    use_gate = static["use_gate"]
+    update_edge, update_pos = static["update_edge"], static["update_pos"]
+    num_gaussians = static["num_gaussians"]
+    input_edge_dim = edge_dim + num_gaussians if update_edge else num_gaussians
+    blocks = []
+    for bk in jax.random.split(key, num_blocks):
+        ks = jax.random.split(bk, 4)
+        blk = {
+            "node_block": init_node_block(ks[0], node_dim, edge_dim, node_dim, use_gate),
+            "edge_emb": init_linear(ks[1], input_edge_dim, edge_dim),
+        }
+        if update_edge:
+            blk["edge_block"] = init_edge_block(ks[2], edge_dim, node_dim, use_gate)
+        if update_pos:
+            blk["pos_block"] = init_pos_update(ks[3], node_dim, edge_dim, edge_dim, use_gate)
+        blocks.append(blk)
+    return {"blocks": blocks}, static
+
+
+def node_edge_net(
+    params,
+    static,
+    h_node: jnp.ndarray,     # [B, N, Dn]
+    pos_node: jnp.ndarray,   # [B, N, 3]
+    h_edge: jnp.ndarray,     # [B, N, N, De]
+    node_time: jnp.ndarray,  # [B, 1, 1]  (t / T per graph)
+    edge_time: jnp.ndarray,  # [B, 1, 1]
+    pair_mask: jnp.ndarray,  # [B, N, N] float (1 = real directed edge)
+    remat: bool = True,
+):
+    """Forward pass; returns (h_node, pos_node, h_edge).
+
+    Reference graph.py:348-367, with jax.checkpoint per block to bound
+    activation memory of the O(N^2) edge tensors under autodiff.
+    """
+    smearing = GaussianSmearing(
+        start=static["start"], stop=static["cutoff"],
+        num_gaussians=static["num_gaussians"], type_="exp",
+    )
+    update_edge = static["update_edge"]
+    update_pos = static["update_pos"]
+
+    def dist_feats(pos):
+        rel = pos[:, :, None, :] - pos[:, None, :, :]
+        dist = safe_distance(rel)
+        return smearing(dist), rel, dist
+
+    def block_fn(blk, h_node, pos_node, h_edge, h_dist, rel_vec, distance):
+        if update_edge:
+            h_edge_in = jnp.concatenate([h_edge, h_dist], axis=-1)
+        else:
+            h_edge_in = h_dist
+        h_edge_i = linear(blk["edge_emb"], h_edge_in)
+
+        h_node_delta = node_block(
+            blk["node_block"], h_node, h_edge_i, node_time, pair_mask
+        )
+        if update_edge:
+            h_edge_i = h_edge_i + edge_block(
+                blk["edge_block"], h_edge_i, h_node, edge_time, pair_mask
+            )
+        h_node = h_node + h_node_delta
+        if update_pos:
+            pos_node = pos_node + pos_update(
+                blk["pos_block"], h_node, h_edge_i, rel_vec, distance,
+                edge_time, pair_mask,
+            )
+        return h_node, pos_node, h_edge_i
+
+    if remat:
+        block_fn = jax.checkpoint(block_fn, static_argnums=())
+
+    h_dist = rel_vec = distance = None
+    for i, blk in enumerate(params["blocks"]):
+        if update_pos or i == 0:
+            h_dist, rel_vec, distance = dist_feats(pos_node)
+        h_node, pos_node, h_edge = block_fn(
+            blk, h_node, pos_node, h_edge, h_dist, rel_vec, distance
+        )
+    return h_node, pos_node, h_edge

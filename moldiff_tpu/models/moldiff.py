@@ -1,0 +1,428 @@
+"""MolDiff: joint 3D position / atom-type / bond-type diffusion model.
+
+TPU-native re-design of the reference orchestrator
+(`/root/reference/models/model.py`). Everything on device is a pure function
+over fixed-shape padded dense batches:
+
+  * positions    [B, N, 3]      Gaussian diffusion (ops/gaussian.py)
+  * atom types   [B, N, Kn]     categorical diffusion, 'tomask' prior
+  * bond types   [B, E, Ke]     categorical diffusion, 'absorb' prior with
+                                the decoupled 'segment' schedule
+  (E = N(N-1)/2 half-edges; N static per bucket)
+
+The reverse sampler is a single ``lax.scan`` over the T timesteps with the
+recursive categorical log-posterior threaded through the carry (the
+reference threads `log_node_type` / `log_halfedge_type` across steps,
+model.py:292-298). Bond guidance is ``jax.grad`` of a bond-predictor score
+w.r.t. positions inside the scan body, replacing the reference's
+``torch.enable_grad()`` island (model.py:309-362).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import graph_ops
+from ..ops.categorical import (
+    CategoricalTransition,
+    index_to_log_onehot,
+    log_sample_categorical,
+)
+from ..ops.gaussian import GaussianTransition
+from ..ops.schedules import get_beta_schedule
+from .denoiser import denoiser_static_config, init_node_edge_net, node_edge_net
+from .nn import GaussianSmearing, init_linear, init_mlp, linear, mlp, safe_distance
+
+
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of x over elements where mask == 1 (mask broadcastable to x)."""
+    mask = jnp.broadcast_to(mask, x.shape).astype(x.dtype)
+    return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+
+def sample_time_antithetic(key: jax.Array, num_graphs: int, num_timesteps: int) -> jnp.ndarray:
+    """Antithetic timestep sampling (reference model.py:97-104)."""
+    half = jax.random.randint(key, (num_graphs // 2 + 1,), 0, num_timesteps)
+    t = jnp.concatenate([half, num_timesteps - half - 1])[:num_graphs]
+    return t.astype(jnp.int32)
+
+
+class MolDiffPreds(NamedTuple):
+    pred_node: jnp.ndarray      # [B, N, Kn] logits of v0
+    pred_pos: jnp.ndarray       # [B, N, 3]  x0 prediction
+    pred_halfedge: jnp.ndarray  # [B, E, Ke] logits of e0
+
+
+class SampleResult(NamedTuple):
+    pred_node: jnp.ndarray
+    pred_pos: jnp.ndarray
+    pred_halfedge: jnp.ndarray
+    traj: Optional[Any] = None  # (node, pos, halfedge) stacked over time if requested
+
+
+class MolDiff:
+    """Holds schedule constants + static architecture config; all compute
+    methods are pure in (params, inputs, rng)."""
+
+    def __init__(self, config: dict, num_node_types: int, num_edge_types: int):
+        self.config = config
+        self.num_node_types = num_node_types
+        self.num_edge_types = num_edge_types
+        self.bond_len_loss = bool(config.get("bond_len_loss", False))
+
+        diff = config["diff"]
+        self.num_timesteps = diff["num_timesteps"]
+        self.time_dim = diff["time_dim"]
+        self.categorical_space = diff.get("categorical_space", "discrete")
+        if self.categorical_space != "discrete":
+            raise NotImplementedError(
+                "only the discrete categorical space (the live reference path) is supported"
+            )
+
+        # transitions (reference model.py:49-95)
+        pos_betas = get_beta_schedule(num_timesteps=self.num_timesteps, **diff["diff_pos"])
+        self.pos_transition = GaussianTransition(pos_betas)
+        node_betas = get_beta_schedule(
+            num_timesteps=self.num_timesteps,
+            **{k: v for k, v in diff["diff_atom"].items() if k != "init_prob"},
+        )
+        self.node_transition = CategoricalTransition(
+            node_betas, num_node_types, init_prob=diff["diff_atom"]["init_prob"]
+        )
+        edge_betas = get_beta_schedule(
+            num_timesteps=self.num_timesteps,
+            **{k: v for k, v in diff["diff_bond"].items() if k != "init_prob"},
+        )
+        self.edge_transition = CategoricalTransition(
+            edge_betas, num_edge_types, init_prob=diff["diff_bond"]["init_prob"]
+        )
+
+        self.node_dim = config["node_dim"]
+        self.edge_dim = config["edge_dim"]
+        denoiser_cfg = dict(config["denoiser"])
+        denoiser_cfg.pop("backbone", None)
+        self._denoiser_cfg = denoiser_cfg
+        self.denoiser_static = denoiser_static_config(**denoiser_cfg)
+        # time embedding: linear RBF over [0, T] (reference model.py:34-36)
+        self.time_emb = GaussianSmearing(
+            stop=self.num_timesteps, num_gaussians=self.time_dim, type_="linear"
+        )
+
+    # -- params --------------------------------------------------------------
+
+    def init_params(self, key: jax.Array) -> dict:
+        ks = jax.random.split(key, 5)
+        denoiser_params, _ = init_node_edge_net(
+            ks[0], self.node_dim, self.edge_dim, **self._denoiser_cfg
+        )
+        return {
+            "node_embedder": init_linear(
+                ks[1], self.num_node_types, self.node_dim - self.time_dim, bias=False
+            ),
+            "edge_embedder": init_linear(
+                ks[2], self.num_edge_types, self.edge_dim - self.time_dim, bias=False
+            ),
+            "denoiser": denoiser_params,
+            "node_decoder": init_mlp(ks[3], self.node_dim, self.num_node_types, self.node_dim),
+            "edge_decoder": init_mlp(ks[4], self.edge_dim, self.num_edge_types, self.edge_dim),
+        }
+
+    # -- denoiser forward ------------------------------------------------------
+
+    def forward(
+        self,
+        params: dict,
+        h_node_pert: jnp.ndarray,      # [B, N, Kn] one-hot / soft
+        pos_pert: jnp.ndarray,         # [B, N, 3]
+        h_halfedge_pert: jnp.ndarray,  # [B, E, Ke]
+        t: jnp.ndarray,                # [B] int32
+        node_mask: jnp.ndarray,        # [B, N] float
+    ) -> MolDiffPreds:
+        """Predict clean (t=0) quantities. Reference model.py:204-234."""
+        b, n = h_node_pert.shape[:2]
+        pair_mask = graph_ops.pair_mask_from_node_mask(node_mask)
+
+        t_float = t.astype(jnp.float32)
+        time_feat = self.time_emb(t_float)  # [B, time_dim]
+        h_node = jnp.concatenate(
+            [
+                linear(params["node_embedder"], h_node_pert),
+                jnp.broadcast_to(time_feat[:, None, :], (b, n, self.time_dim)),
+            ],
+            axis=-1,
+        )
+        h_edge_dense = graph_ops.halfedge_to_dense(h_halfedge_pert, n)
+        h_edge = jnp.concatenate(
+            [
+                linear(params["edge_embedder"], h_edge_dense),
+                jnp.broadcast_to(time_feat[:, None, None, :], (b, n, n, self.time_dim)),
+            ],
+            axis=-1,
+        )
+        t_norm = (t_float / self.num_timesteps)[:, None, None]  # [B,1,1]
+
+        h_node, pos_out, h_edge = node_edge_net(
+            params["denoiser"],
+            self.denoiser_static,
+            h_node,
+            pos_pert,
+            h_edge,
+            node_time=t_norm,
+            edge_time=t_norm,
+            pair_mask=pair_mask,
+        )
+
+        pred_node = mlp(params["node_decoder"], h_node)
+        h_half_sym = graph_ops.dense_to_halfedge(graph_ops.symmetrize_dense(h_edge))
+        pred_halfedge = mlp(params["edge_decoder"], h_half_sym)
+        return MolDiffPreds(pred_node, pos_out, pred_halfedge)
+
+    # -- training loss ---------------------------------------------------------
+
+    def get_loss(
+        self,
+        params: dict,
+        node_type: jnp.ndarray,      # [B, N] int32
+        node_pos: jnp.ndarray,       # [B, N, 3]
+        halfedge_type: jnp.ndarray,  # [B, E] int32
+        node_mask: jnp.ndarray,      # [B, N] float
+        key: jax.Array,
+    ):
+        """Diffusion training loss (reference model.py:128-201): masked-mean
+        pos MSE + 100 * KL(node) + 100 * KL(edge) [+ bond-length MSE]."""
+        b, n = node_type.shape
+        halfedge_mask = graph_ops.halfedge_mask_from_node_mask(node_mask)
+
+        k_t, k_pos, k_node, k_edge = jax.random.split(key, 4)
+        t = sample_time_antithetic(k_t, b, self.num_timesteps)
+
+        pos_pert, _ = self.pos_transition.add_noise(node_pos, t, k_pos)
+        h_node_pert, log_node_t, log_node_0 = self.node_transition.add_noise(
+            node_type, t, k_node
+        )
+        h_halfedge_pert, log_halfedge_t, log_halfedge_0 = self.edge_transition.add_noise(
+            halfedge_type, t, k_edge
+        )
+
+        preds = self.forward(params, h_node_pert, pos_pert, h_halfedge_pert, t, node_mask)
+
+        # positions: mean over real atoms (reference uses F.mse_loss over the
+        # ragged concatenation, i.e. a flat mean over real elements)
+        loss_pos = masked_mean(
+            (preds.pred_pos - node_pos) ** 2, node_mask[..., None]
+        )
+
+        losses = {}
+        if self.bond_len_loss:
+            iu, ju = graph_ops.triu_indices(n)
+            bond_mask = halfedge_mask * (halfedge_type > 0)
+            true_len = safe_distance(node_pos[:, iu] - node_pos[:, ju])
+            pred_len = safe_distance(preds.pred_pos[:, iu] - preds.pred_pos[:, ju])
+            losses["loss_len"] = masked_mean((pred_len - true_len) ** 2, bond_mask)
+
+        # node / edge categorical KL (x100), reference model.py:174-185
+        log_node_recon = jax.nn.log_softmax(preds.pred_node, axis=-1)
+        log_node_post_true = self.node_transition.q_v_posterior(
+            log_node_0, log_node_t, t, v0_prob=True
+        )
+        log_node_post_pred = self.node_transition.q_v_posterior(
+            log_node_recon, log_node_t, t, v0_prob=True
+        )
+        kl_node = self.node_transition.compute_v_Lt(
+            log_node_post_true, log_node_post_pred, log_node_0, t
+        )
+        loss_node = masked_mean(kl_node, node_mask) * 100.0
+
+        log_edge_recon = jax.nn.log_softmax(preds.pred_halfedge, axis=-1)
+        log_edge_post_true = self.edge_transition.q_v_posterior(
+            log_halfedge_0, log_halfedge_t, t, v0_prob=True
+        )
+        log_edge_post_pred = self.edge_transition.q_v_posterior(
+            log_edge_recon, log_halfedge_t, t, v0_prob=True
+        )
+        kl_edge = self.edge_transition.compute_v_Lt(
+            log_edge_post_true, log_edge_post_pred, log_halfedge_0, t
+        )
+        loss_edge = masked_mean(kl_edge, halfedge_mask) * 100.0
+
+        loss_total = loss_pos + loss_node + loss_edge + losses.get("loss_len", 0.0)
+        losses.update(
+            loss=loss_total, loss_pos=loss_pos, loss_node=loss_node, loss_edge=loss_edge
+        )
+        return loss_total, losses
+
+    # -- sampling ----------------------------------------------------------------
+
+    def sample(
+        self,
+        params: dict,
+        node_mask: jnp.ndarray,  # [B, N] float — defines per-graph sizes
+        key: jax.Array,
+        guidance: Optional[Tuple[str, float]] = None,
+        bond_predictor=None,          # (BondPredictor, bp_params) when guided
+        save_traj: bool = False,
+    ) -> SampleResult:
+        """Full T-step ancestral reverse sampler as one lax.scan.
+
+        Reference model.py:236-378. Carry threads the recursive categorical
+        log-posteriors in addition to the sampled one-hots.
+        """
+        b, n = node_mask.shape
+        e = graph_ops.num_halfedges(n)
+        T = self.num_timesteps
+
+        k_node, k_pos, k_edge, k_scan = jax.random.split(key, 4)
+        _, h_node, log_node = self.node_transition.sample_init((b, n), k_node)
+        pos = self.pos_transition.sample_init((b, n, 3), k_pos)
+        _, h_halfedge, log_halfedge = self.edge_transition.sample_init((b, e), k_edge)
+
+        zero_preds = MolDiffPreds(
+            jnp.zeros((b, n, self.num_node_types)),
+            jnp.zeros((b, n, 3)),
+            jnp.zeros((b, e, self.num_edge_types)),
+        )
+
+        def body(carry, step):
+            pos, h_node, h_halfedge, log_node, log_halfedge, _, key = carry
+            key, k_pos, k_node, k_edge = jax.random.split(key, 4)
+            t = jnp.full((b,), step, dtype=jnp.int32)
+
+            preds = self.forward(params, h_node, pos, h_halfedge, t, node_mask)
+
+            pos_prev = self.pos_transition.get_prev_from_recon(
+                x_t=pos, x_recon=preds.pred_pos, t=t, key=k_pos
+            )
+
+            log_node_recon = jax.nn.log_softmax(preds.pred_node, axis=-1)
+            log_node_new = self.node_transition.q_v_posterior(
+                log_node_recon, log_node, t, v0_prob=True
+            )
+            node_type_prev = log_sample_categorical(log_node_new, k_node)
+            h_node_prev = self.node_transition.onehot_encode(node_type_prev)
+
+            log_edge_recon = jax.nn.log_softmax(preds.pred_halfedge, axis=-1)
+            log_halfedge_new = self.edge_transition.q_v_posterior(
+                log_edge_recon, log_halfedge, t, v0_prob=True
+            )
+            halfedge_type_prev = log_sample_categorical(log_halfedge_new, k_edge)
+            h_halfedge_prev = self.edge_transition.onehot_encode(halfedge_type_prev)
+
+            if guidance is not None:
+                gui_type, gui_scale = guidance
+                if gui_scale > 0:
+                    delta = _bond_guidance_delta(
+                        bond_predictor,
+                        gui_type,
+                        gui_scale,
+                        h_node_pert=h_node,
+                        pos_pert=pos,
+                        t=t,
+                        node_mask=node_mask,
+                        halfedge_type_prev=halfedge_type_prev,
+                        log_halfedge_type=log_halfedge_new,
+                    )
+                    pos_prev = pos_prev + delta
+
+            carry = (
+                pos_prev, h_node_prev, h_halfedge_prev,
+                log_node_new, log_halfedge_new, preds, key,
+            )
+            ys = (h_node_prev, pos_prev, h_halfedge_prev) if save_traj else None
+            return carry, ys
+
+        init = (pos, h_node, h_halfedge, log_node, log_halfedge, zero_preds, k_scan)
+        steps = jnp.arange(T - 1, -1, -1)
+        carry, ys = jax.lax.scan(body, init, steps)
+        preds = carry[5]
+        traj = None
+        if save_traj:
+            # prepend the prior state, matching reference traj[0] = init
+            traj = tuple(
+                jnp.concatenate([x0[None], y], axis=0)
+                for x0, y in zip((h_node, pos, h_halfedge), ys)
+            )
+        return SampleResult(preds.pred_node, preds.pred_pos, preds.pred_halfedge, traj)
+
+
+# ---------------------------------------------------------------------------
+# bond guidance (reference model.py:309-362)
+# ---------------------------------------------------------------------------
+
+def _bond_guidance_delta(
+    bond_predictor,
+    gui_type: str,
+    gui_scale: float,
+    h_node_pert: jnp.ndarray,
+    pos_pert: jnp.ndarray,
+    t: jnp.ndarray,
+    node_mask: jnp.ndarray,
+    halfedge_type_prev: jnp.ndarray,
+    log_halfedge_type: jnp.ndarray,
+) -> jnp.ndarray:
+    """delta(pos) = ±grad_pos(score) * scale for all 8 reference modes.
+
+    All per-halfedge scores are masked so padded edges contribute nothing
+    (the reference's ragged sums only ever see real edges).
+    """
+    bp, bp_params = bond_predictor
+    halfedge_mask = graph_ops.halfedge_mask_from_node_mask(node_mask)
+    eps = 1e-12
+
+    def score(pos_in):
+        pred = bp.forward(bp_params, h_node_pert, pos_in, t, node_mask)  # [B,E,Kbp]
+        if gui_type == "entropy":
+            prob = jax.nn.softmax(pred, axis=-1)
+            ent = -jnp.sum(prob * jnp.log(prob + eps), axis=-1)
+            return jnp.sum(jnp.log(ent) * halfedge_mask), -1.0
+        elif gui_type == "uncertainty":
+            unc = jax.nn.sigmoid(-jax.scipy.special.logsumexp(pred, axis=-1))
+            return jnp.sum(jnp.log(unc) * halfedge_mask), -1.0
+        elif gui_type == "uncertainty_bond":
+            prob = jax.nn.softmax(pred, axis=-1)
+            unc = jax.nn.sigmoid(-jax.scipy.special.logsumexp(pred, axis=-1))
+            w = jax.lax.stop_gradient(jnp.sum(prob[..., 1:], axis=-1))
+            return jnp.sum(jnp.log(unc) * w * halfedge_mask), -1.0
+        elif gui_type == "entropy_bond":
+            prob = jax.nn.softmax(pred, axis=-1)
+            ent = -jnp.sum(prob * jnp.log(prob + eps), axis=-1)
+            w = jax.lax.stop_gradient(jnp.sum(prob[..., 1:], axis=-1))
+            return jnp.sum(jnp.log(ent) * w * halfedge_mask), -1.0
+        elif gui_type == "logit_bond":
+            is_real = (
+                (halfedge_type_prev >= 1) & (halfedge_type_prev <= 4)
+            ).astype(pred.dtype)
+            sel = jnp.take_along_axis(
+                pred, jnp.clip(halfedge_type_prev, 0, pred.shape[-1] - 1)[..., None], axis=-1
+            ).squeeze(-1)
+            return jnp.sum(sel * is_real * halfedge_mask), +1.0
+        elif gui_type == "logit":
+            not_mask = (halfedge_type_prev <= 4).astype(pred.dtype)
+            sel = jnp.take_along_axis(
+                pred, jnp.clip(halfedge_type_prev, 0, pred.shape[-1] - 1)[..., None], axis=-1
+            ).squeeze(-1)
+            return jnp.sum(sel * not_mask * halfedge_mask), +1.0
+        elif gui_type == "crossent":
+            # soft-target CE against posterior probs (all classes but the mask)
+            target = jax.lax.stop_gradient(
+                jnp.exp(log_halfedge_type)[..., :-1]
+            )
+            ce = -jnp.sum(target * jax.nn.log_softmax(pred, axis=-1), axis=-1)
+            return jnp.sum(jnp.log(ce + eps) * halfedge_mask), -1.0
+        elif gui_type == "crossent_bond":
+            target = jax.lax.stop_gradient(
+                jnp.exp(log_halfedge_type)[..., 1:-1]
+            )
+            ce = -jnp.sum(
+                target * jax.nn.log_softmax(pred[..., 1:], axis=-1), axis=-1
+            )
+            return jnp.sum(jnp.log(ce + eps) * halfedge_mask), -1.0
+        else:
+            raise NotImplementedError(f"guidance type {gui_type}")
+
+    sign = score(pos_pert)[1]
+    grad = jax.grad(lambda p: score(p)[0])(pos_pert)
+    return sign * grad * gui_scale

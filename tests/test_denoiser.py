@@ -1,0 +1,128 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moldiff_tpu.models.denoiser import init_node_edge_net, node_edge_net
+from moldiff_tpu.ops import graph_ops
+
+NODE_DIM, EDGE_DIM = 32, 16
+B, N = 2, 8
+
+
+@pytest.fixture(scope="module")
+def net():
+    params, static = init_node_edge_net(
+        jax.random.PRNGKey(0), NODE_DIM, EDGE_DIM,
+        num_blocks=2, cutoff=15.0, use_gate=True,
+    )
+    return params, static
+
+
+def _inputs(key, b=B, n=N):
+    ks = jax.random.split(key, 3)
+    h_node = jax.random.normal(ks[0], (b, n, NODE_DIM))
+    pos = jax.random.normal(ks[1], (b, n, 3)) * 2.0
+    h_edge = jax.random.normal(ks[2], (b, n, n, EDGE_DIM))
+    h_edge = 0.5 * (h_edge + jnp.swapaxes(h_edge, 1, 2))
+    t_norm = jnp.full((b, 1, 1), 0.3)
+    return h_node, pos, h_edge, t_norm
+
+
+def test_shapes(net):
+    params, static = net
+    h_node, pos, h_edge, t = _inputs(jax.random.PRNGKey(1))
+    mask = jnp.ones((B, N))
+    pm = graph_ops.pair_mask_from_node_mask(mask)
+    hn, p, he = node_edge_net(params, static, h_node, pos, h_edge, t, t, pm)
+    assert hn.shape == (B, N, NODE_DIM)
+    assert p.shape == (B, N, 3)
+    assert he.shape == (B, N, N, EDGE_DIM)
+    for x in (hn, p, he):
+        assert np.all(np.isfinite(np.asarray(x)))
+
+
+def test_e3_equivariance(net):
+    """Rotating+translating inputs rotates pos output; features invariant."""
+    params, static = net
+    h_node, pos, h_edge, t = _inputs(jax.random.PRNGKey(2))
+    mask = jnp.ones((B, N))
+    pm = graph_ops.pair_mask_from_node_mask(mask)
+
+    # random rotation via QR
+    q, _ = np.linalg.qr(np.random.default_rng(0).normal(size=(3, 3)))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    rot = jnp.asarray(q, dtype=jnp.float32)
+    shift = jnp.asarray([1.0, -2.0, 0.5])
+
+    hn1, p1, he1 = node_edge_net(params, static, h_node, pos, h_edge, t, t, pm)
+    hn2, p2, he2 = node_edge_net(
+        params, static, h_node, pos @ rot.T + shift, h_edge, t, t, pm
+    )
+    np.testing.assert_allclose(np.asarray(hn2), np.asarray(hn1), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(he2), np.asarray(he1), atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(p2), np.asarray(p1 @ rot.T + shift), atol=2e-4
+    )
+
+
+def test_padding_invariance(net):
+    """Outputs on real atoms are identical when padding is added."""
+    params, static = net
+    n_real = 5
+    h_node, pos, h_edge, t = _inputs(jax.random.PRNGKey(3))
+    mask_full = jnp.zeros((B, N)).at[:, :n_real].set(1.0)
+    pm_full = graph_ops.pair_mask_from_node_mask(mask_full)
+
+    out_full = node_edge_net(params, static, h_node, pos, h_edge, t, t, pm_full)
+
+    # same molecule in a smaller buffer
+    h_node_s = h_node[:, :n_real]
+    pos_s = pos[:, :n_real]
+    h_edge_s = h_edge[:, :n_real, :n_real]
+    mask_s = jnp.ones((B, n_real))
+    pm_s = graph_ops.pair_mask_from_node_mask(mask_s)
+    out_small = node_edge_net(params, static, h_node_s, pos_s, h_edge_s, t, t, pm_s)
+
+    np.testing.assert_allclose(
+        np.asarray(out_full[0][:, :n_real]), np.asarray(out_small[0]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_full[1][:, :n_real]), np.asarray(out_small[1]), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_full[2][:, :n_real, :n_real]),
+        np.asarray(out_small[2]),
+        atol=1e-5,
+    )
+
+
+def test_gradients_finite_under_padding(net):
+    """No NaNs leak from masked pairs (diagonal distance = 0) into grads."""
+    params, static = net
+    h_node, pos, h_edge, t = _inputs(jax.random.PRNGKey(4))
+    mask = jnp.zeros((B, N)).at[:, :5].set(1.0)
+    pm = graph_ops.pair_mask_from_node_mask(mask)
+
+    def loss(pos_in):
+        hn, p, he = node_edge_net(params, static, h_node, pos_in, h_edge, t, t, pm)
+        return jnp.sum((p * mask[..., None]) ** 2) + jnp.sum(
+            (hn * mask[..., None]) ** 2
+        )
+
+    g = jax.grad(loss)(pos)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_update_flags():
+    """update_pos=False freezes positions; update_edge=False drops edge state."""
+    params, static = init_node_edge_net(
+        jax.random.PRNGKey(5), NODE_DIM, EDGE_DIM,
+        num_blocks=2, cutoff=20.0, use_gate=True, update_pos=False,
+    )
+    h_node, pos, h_edge, t = _inputs(jax.random.PRNGKey(6))
+    mask = jnp.ones((B, N))
+    pm = graph_ops.pair_mask_from_node_mask(mask)
+    _, p, _ = node_edge_net(params, static, h_node, pos, h_edge, t, t, pm)
+    np.testing.assert_array_equal(np.asarray(p), np.asarray(pos))
