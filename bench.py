@@ -1,0 +1,78 @@
+"""Sampling throughput benchmark: mols/sec/chip on GEOM-Drug-sized molecules.
+
+Runs the full 1000-step reverse sampler (the reference's hot path,
+`/root/reference/models/model.py:236-378`) as one jitted lax.scan on the
+flagship model config (node_dim 256, 6 blocks) at bucket N=32 (covers the
+GEOM-Drug size distribution N(24.9, 5.5)).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md section 6).
+We use an estimated 0.5 mols/sec for the PyTorch/A100 reference (batch-512
+x 1000-step sampling runs reported ~15-20 min per batch for models of this
+size); the north-star target is >= 10x that per v5e-8, i.e. ~0.63
+mols/sec/chip. vs_baseline is value / 0.5.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFERENCE_MOLS_PER_SEC = 0.5  # estimated PyTorch/A100 single-GPU throughput
+
+
+def main():
+    from __graft_entry__ import _model_config
+    from moldiff_tpu.models.moldiff import MolDiff
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+
+    model = MolDiff(_model_config(), num_node_types=8, num_edge_types=6)
+    params = model.init_params(jax.random.key(0))
+
+    node_mask = jnp.ones((batch, n), jnp.float32)
+
+    @jax.jit
+    def run(params, node_mask, key):
+        res = model.sample(params, node_mask, key)
+        return res.pred_node, res.pred_pos, res.pred_halfedge
+
+    # compile
+    t0 = time.time()
+    out = run(params, node_mask, jax.random.key(1))
+    jax.block_until_ready(out)
+    compile_s = time.time() - t0
+
+    # timed runs
+    times = []
+    for i in range(3):
+        t0 = time.time()
+        out = run(params, node_mask, jax.random.key(2 + i))
+        jax.block_until_ready(out)
+        times.append(time.time() - t0)
+    best = min(times)
+    mols_per_sec = batch / best
+
+    n_chips = jax.device_count()
+    result = {
+        "metric": "mols_per_sec_per_chip",
+        "value": round(mols_per_sec / max(n_chips, 1), 3),
+        "unit": "mols/sec/chip",
+        "vs_baseline": round(mols_per_sec / max(n_chips, 1) / REFERENCE_MOLS_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# batch={batch} n_atoms={n} T=1000 compile={compile_s:.1f}s "
+        f"best_run={best:.2f}s device={jax.devices()[0].device_kind}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

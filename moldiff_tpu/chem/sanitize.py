@@ -1,0 +1,315 @@
+"""Molecule sanitization: valence check, kekulization, aromatic fixes.
+
+First-party analogue of the reference's RDKit sanitize cascade
+(`/root/reference/utils/reconstruct.py:246-387`): build -> SanitizeMol ->
+Kekulize check -> fix_aromatic (enumerate protonation/charge states of ring
+N/S) -> fix_valence (N+ fix) -> strict retry; raises ``MolReconsError`` on
+failure. The >=99% sampling-success headline metric flows through this
+cascade, so the acceptance semantics mirror RDKit's:
+
+  * every atom's bond-order sum must fit an allowed valence for its
+    element/charge (implicit Hs fill the remainder);
+  * every aromatic bond must lie in a ring of aromatic bonds whose ring
+    system admits a Kekule assignment (perfect matching of double bonds over
+    aromatic atoms that need one), allowing pyrrole-type N/S/O (contributing
+    a lone pair instead of a double bond) — enumerated exactly like the
+    reference's fix_aromatic tries [nH]/n+ combinations.
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+from .mol import AROMATIC, Mol, MolError
+from .periodic import allowed_valences
+
+MolReconsError = MolError  # reference-compatible alias (utils/reconstruct.py:23)
+
+
+# ---------------------------------------------------------------------------
+# valence
+# ---------------------------------------------------------------------------
+
+def _has_aromatic_bond(mol: Mol, i: int) -> bool:
+    return any(mol.bonds[b].order == AROMATIC for b in mol._adj[i].values())
+
+
+def check_valence(mol: Mol, i: int) -> bool:
+    """True if atom i's bond-order sum fits an allowed valence.
+
+    For atoms with aromatic bonds this is a *lower-bound* check (aromatic
+    counts as 1 — e.g. a naphthalene fusion C with three aromatic bonds sums
+    to 3 here); the exact check happens on the kekulized structure inside
+    ``sanitize``, mirroring RDKit's kekulize-then-check order.
+    """
+    a = mol.atoms[i]
+    if _has_aromatic_bond(mol, i):
+        v_int = int(mol.valence_sum(i, aromatic_as=1.0))
+    else:
+        v = mol.valence_sum(i)
+        v_int = int(-(-v // 1))  # ceil
+    vals = allowed_valences(a.z, a.charge)
+    if not vals:
+        return False
+    return v_int <= max(vals)
+
+
+def first_valence_error(mol: Mol) -> Optional[int]:
+    for i in range(mol.num_atoms):
+        if not check_valence(mol, i):
+            return i
+    return None
+
+
+def fix_valence(mol: Mol) -> Tuple[Mol, bool]:
+    """Try formal-charge fixes for over-valent atoms (reference
+    utils/reconstruct.py:295-315 fixes 4-valent N as N+). Returns
+    (mol, fixed_ok)."""
+    mol = mol.copy()
+    changed = False
+    for i, a in enumerate(mol.atoms):
+        if check_valence(mol, i):
+            continue
+        v_int = int(-(-mol.valence_sum(i) // 1))
+        for charge in (+1, -1):
+            vals = allowed_valences(a.z, charge)
+            if vals and v_int <= max(vals):
+                a.charge = charge
+                changed = True
+                break
+    return mol, first_valence_error(mol) is None and changed
+
+
+# ---------------------------------------------------------------------------
+# kekulization
+# ---------------------------------------------------------------------------
+
+def _aromatic_systems(mol: Mol) -> List[Set[int]]:
+    """Connected components of the subgraph of AROMATIC bonds -> atom sets."""
+    seen: Set[int] = set()
+    systems = []
+    arom_adj: Dict[int, List[int]] = {}
+    for b in mol.bonds:
+        if b.order == AROMATIC:
+            arom_adj.setdefault(b.i, []).append(b.j)
+            arom_adj.setdefault(b.j, []).append(b.i)
+    for s in arom_adj:
+        if s in seen:
+            continue
+        stack, comp = [s], set()
+        seen.add(s)
+        while stack:
+            u = stack.pop()
+            comp.add(u)
+            for v in arom_adj[u]:
+                if v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        systems.append(comp)
+    return systems
+
+
+def _needs_double(mol: Mol, i: int, pyrrole_like: Set[int]) -> bool:
+    """Whether aromatic atom i must receive exactly one double bond in the
+    Kekule structure. Pyrrole-like atoms (N/O/S donating a lone pair) don't.
+
+    An atom also can't take a double bond if its non-aromatic bonds already
+    exhaust its valence (e.g. exocyclic =O).
+    """
+    if i in pyrrole_like:
+        return False
+    a = mol.atoms[i]
+    # fixed (non-aromatic) bond order sum
+    fixed = 0.0
+    n_arom = 0
+    for j, bidx in mol._adj[i].items():
+        o = mol.bonds[bidx].order
+        if o == AROMATIC:
+            n_arom += 1
+        else:
+            fixed += float(o)
+    vals = allowed_valences(a.z, a.charge)
+    if not vals:
+        return False
+    vmax = max(vals)
+    # aromatic bonds as single (n_arom) + fixed + 1 for the double bond
+    return fixed + n_arom + 1 <= vmax
+
+
+def _perfect_matching(atoms: Sequence[int], adj: Dict[int, List[int]],
+                      need: Set[int]) -> Optional[Set[Tuple[int, int]]]:
+    """Find a matching that covers every atom in `need` (greedy+backtracking;
+    ring systems are small). Returns matched edge set or None."""
+    need_list = sorted(need)
+    matched: Dict[int, int] = {}
+    edges: Set[Tuple[int, int]] = set()
+
+    def bt(k: int) -> bool:
+        if k == len(need_list):
+            return True
+        u = need_list[k]
+        if u in matched:
+            return bt(k + 1)
+        for v in adj.get(u, ()):
+            if v in matched or v not in need:
+                continue
+            matched[u] = v
+            matched[v] = u
+            edges.add((min(u, v), max(u, v)))
+            if bt(k + 1):
+                return True
+            del matched[u], matched[v]
+            edges.discard((min(u, v), max(u, v)))
+        return False
+
+    return edges if bt(0) else None
+
+
+def kekulize(mol: Mol, pyrrole_like: Optional[Set[int]] = None) -> Mol:
+    """Return a copy with AROMATIC bonds replaced by alternating 1/2 orders.
+
+    Raises MolError if no Kekule structure exists (the analogue of RDKit's
+    Kekulize failure that triggers the reference's fix_aromatic cascade).
+    """
+    pyrrole_like = pyrrole_like or set()
+    out = mol.copy()
+    for system in _aromatic_systems(mol):
+        arom_adj: Dict[int, List[int]] = {}
+        for b in mol.bonds:
+            if b.order == AROMATIC and b.i in system and b.j in system:
+                arom_adj.setdefault(b.i, []).append(b.j)
+                arom_adj.setdefault(b.j, []).append(b.i)
+        need = {i for i in system if _needs_double(mol, i, pyrrole_like)}
+        matching = _perfect_matching(sorted(system), arom_adj, need)
+        if matching is None:
+            raise MolError(f"kekulization failed for aromatic system {sorted(system)}")
+        for b in out.bonds:
+            if b.order == AROMATIC and b.i in system and b.j in system:
+                key = (min(b.i, b.j), max(b.i, b.j))
+                b.order = 2 if key in matching else 1
+    return out
+
+
+def perceive_aromaticity(mol: Mol) -> None:
+    """Set atom aromatic flags from AROMATIC bond membership (in place)."""
+    for a in mol.atoms:
+        a.aromatic = False
+    for b in mol.bonds:
+        if b.order == AROMATIC:
+            mol.atoms[b.i].aromatic = True
+            mol.atoms[b.j].aromatic = True
+
+
+def _aromatic_ring_check(mol: Mol) -> None:
+    """Every aromatic bond must be in a ring (RDKit rejects acyclic aromatic
+    bonds)."""
+    ring_bonds = mol.ring_bond_ids()
+    for idx, b in enumerate(mol.bonds):
+        if b.order == AROMATIC and idx not in ring_bonds:
+            raise MolError(f"aromatic bond {b.i}-{b.j} not in a ring")
+
+
+def fix_aromatic(mol: Mol, strict: bool = False) -> Optional[Mol]:
+    """Enumerate pyrrole-like assignments (and N+ charges) on aromatic-ring
+    N/S/O to make kekulization succeed (reference utils/reconstruct.py:324-387
+    enumerates [nH]/[n+] combos). Returns a sanitizable copy or None."""
+    systems = _aromatic_systems(mol)
+    cand: List[int] = []
+    for system in systems:
+        for i in system:
+            if mol.atoms[i].z in (7, 8, 16):
+                cand.append(i)
+    # limit enumeration like the reference (it caps combination size)
+    cand = cand[:12]
+    for r in range(0, min(len(cand), 6) + 1):
+        for combo in itertools.combinations(cand, r):
+            try:
+                kek = kekulize(mol, pyrrole_like=set(combo))
+            except MolError:
+                continue
+            if first_valence_error(kek) is None:
+                out = mol.copy()
+                for i in combo:
+                    # pyrrole-like: lone pair in ring; nothing structural to
+                    # store beyond the (successful) kekulizability
+                    pass
+                if strict:
+                    try:
+                        sanitize(out)
+                    except MolError:
+                        continue
+                return out
+    # final attempt: also allow charge fixes
+    fixed, ok = fix_valence(mol)
+    if ok:
+        try:
+            sanitize(fixed)
+            return fixed
+        except MolError:
+            return None
+    return None
+
+
+# ---------------------------------------------------------------------------
+# sanitize cascade
+# ---------------------------------------------------------------------------
+
+def sanitize(mol: Mol) -> Mol:
+    """Full check: valences legal + aromatic bonds ringed + kekulizable.
+
+    Returns the input mol (unchanged) on success; raises MolError otherwise.
+    """
+    bad = first_valence_error(mol)
+    if bad is not None:
+        a = mol.atoms[bad]
+        raise MolError(
+            f"valence error: atom {bad} ({a.symbol}, charge {a.charge}) "
+            f"has bond-order sum {mol.valence_sum(bad)}"
+        )
+    _aromatic_ring_check(mol)
+    # kekulizable with some pyrrole-like assignment?
+    systems = _aromatic_systems(mol)
+    if systems:
+        cand = [i for s in systems for i in s if mol.atoms[i].z in (7, 8, 16)]
+        ok = False
+        for r in range(0, min(len(cand), 6) + 1):
+            for combo in itertools.combinations(cand[:12], r):
+                try:
+                    kek = kekulize(mol, pyrrole_like=set(combo))
+                except MolError:
+                    continue
+                if first_valence_error(kek) is None:
+                    ok = True
+                    break
+            if ok:
+                break
+        if not ok:
+            raise MolError("unkekulizable aromatic system")
+    perceive_aromaticity(mol)
+    return mol
+
+
+def reconstruct_from_generated(
+    element, pos, bond_index, bond_type, strict: bool = True
+) -> Mol:
+    """Generated arrays -> sanitized Mol, with the reference's fix cascade
+    (utils/reconstruct.py:200-274): sanitize -> fix_aromatic -> fix_valence
+    -> strict retry; raises MolReconsError on failure."""
+    mol = Mol.from_arrays(element, pos, bond_index, bond_type)
+    try:
+        return sanitize(mol)
+    except MolError:
+        pass
+    fixed = fix_aromatic(mol)
+    if fixed is not None:
+        try:
+            return sanitize(fixed)
+        except MolError:
+            pass
+    fixed, ok = fix_valence(mol)
+    if ok:
+        try:
+            return sanitize(fixed)
+        except MolError:
+            pass
+    raise MolReconsError("reconstruction failed: unsanitizable molecule")

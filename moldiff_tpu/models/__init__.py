@@ -1,0 +1,2 @@
+from .bond_predictor import BondPredictor
+from .moldiff import MolDiff, MolDiffPreds, SampleResult

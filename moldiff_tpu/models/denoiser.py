@@ -224,7 +224,13 @@ def denoiser_static_config(
 
 
 def init_node_edge_net(key, node_dim: int, edge_dim: int, **denoiser_cfg):
-    """Reference graph.py:298-346. Returns (params, static_config)."""
+    """Reference graph.py:298-346. Returns (params, static_config).
+
+    The per-block params are STACKED along a leading ``num_blocks`` axis so
+    the forward pass is a single ``lax.scan`` over blocks — one compiled
+    block body instead of ``num_blocks`` inlined copies, which cuts XLA
+    compile time ~num_blocks-fold for the 1000-step sampler scan.
+    """
     static = denoiser_static_config(**denoiser_cfg)
     num_blocks = static["num_blocks"]
     use_gate = static["use_gate"]
@@ -243,7 +249,8 @@ def init_node_edge_net(key, node_dim: int, edge_dim: int, **denoiser_cfg):
         if update_pos:
             blk["pos_block"] = init_pos_update(ks[3], node_dim, edge_dim, edge_dim, use_gate)
         blocks.append(blk)
-    return {"blocks": blocks}, static
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return {"blocks": stacked}, static
 
 
 def node_edge_net(
@@ -259,8 +266,10 @@ def node_edge_net(
 ):
     """Forward pass; returns (h_node, pos_node, h_edge).
 
-    Reference graph.py:348-367, with jax.checkpoint per block to bound
-    activation memory of the O(N^2) edge tensors under autodiff.
+    Reference graph.py:348-367, as ONE ``lax.scan`` over the stacked block
+    params (compile-time: one block body, not num_blocks inlined copies),
+    with jax.checkpoint per block to bound activation memory of the O(N^2)
+    edge tensors under autodiff.
     """
     smearing = GaussianSmearing(
         start=static["start"], stop=static["cutoff"],
@@ -274,7 +283,16 @@ def node_edge_net(
         dist = safe_distance(rel)
         return smearing(dist), rel, dist
 
-    def block_fn(blk, h_node, pos_node, h_edge, h_dist, rel_vec, distance):
+    # distances are recomputed per block only when positions move
+    # (reference graph.py:351-357); otherwise computed once up front.
+    h_dist0, rel0, dist0 = dist_feats(pos_node)
+
+    def block_fn(carry, blk):
+        h_node, pos_node, h_edge = carry
+        if update_pos:
+            h_dist, rel_vec, distance = dist_feats(pos_node)
+        else:
+            h_dist, rel_vec, distance = h_dist0, rel0, dist0
         if update_edge:
             h_edge_in = jnp.concatenate([h_edge, h_dist], axis=-1)
         else:
@@ -294,16 +312,12 @@ def node_edge_net(
                 blk["pos_block"], h_node, h_edge_i, rel_vec, distance,
                 edge_time, pair_mask,
             )
-        return h_node, pos_node, h_edge_i
+        return (h_node, pos_node, h_edge_i), None
 
     if remat:
         block_fn = jax.checkpoint(block_fn, static_argnums=())
 
-    h_dist = rel_vec = distance = None
-    for i, blk in enumerate(params["blocks"]):
-        if update_pos or i == 0:
-            h_dist, rel_vec, distance = dist_feats(pos_node)
-        h_node, pos_node, h_edge = block_fn(
-            blk, h_node, pos_node, h_edge, h_dist, rel_vec, distance
-        )
+    (h_node, pos_node, h_edge), _ = jax.lax.scan(
+        block_fn, (h_node, pos_node, h_edge), params["blocks"]
+    )
     return h_node, pos_node, h_edge

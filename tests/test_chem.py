@@ -1,0 +1,246 @@
+"""Chemistry kernel tests: valence, kekulization, sanitize cascade, SSSR,
+canonical SMILES (permutation invariance)."""
+import numpy as np
+import pytest
+
+from moldiff_tpu.chem.mol import AROMATIC, Mol, MolError
+from moldiff_tpu.chem.sanitize import (
+    check_valence,
+    first_valence_error,
+    fix_valence,
+    kekulize,
+    reconstruct_from_generated,
+    sanitize,
+)
+from moldiff_tpu.chem.smiles import canonical_ranks, mol_to_smiles
+
+
+def benzene():
+    m = Mol()
+    for _ in range(6):
+        m.add_atom(6)
+    for i in range(6):
+        m.add_bond(i, (i + 1) % 6, AROMATIC)
+    return m
+
+
+def pyridine():
+    m = Mol()
+    m.add_atom(7)
+    for _ in range(5):
+        m.add_atom(6)
+    for i in range(6):
+        m.add_bond(i, (i + 1) % 6, AROMATIC)
+    return m
+
+
+def pyrrole():
+    m = Mol()
+    m.add_atom(7)
+    for _ in range(4):
+        m.add_atom(6)
+    for i in range(5):
+        m.add_bond(i, (i + 1) % 5, AROMATIC)
+    return m
+
+
+def ethanol():
+    m = Mol()
+    c1, c2, o = m.add_atom(6), m.add_atom(6), m.add_atom(8)
+    m.add_bond(c1, c2, 1)
+    m.add_bond(c2, o, 1)
+    return m
+
+
+class TestValence:
+    def test_ethanol_ok(self):
+        m = ethanol()
+        assert first_valence_error(m) is None
+        assert m.implicit_h(0) == 3
+        assert m.implicit_h(2) == 1
+
+    def test_pentavalent_carbon_fails(self):
+        m = Mol()
+        c = m.add_atom(6)
+        for _ in range(5):
+            h = m.add_atom(6)
+            m.add_bond(c, h, 1)
+        assert not check_valence(m, c)
+        with pytest.raises(MolError):
+            sanitize(m)
+
+    def test_ammonium_fix(self):
+        m = Mol()
+        n = m.add_atom(7)
+        for _ in range(4):
+            c = m.add_atom(6)
+            m.add_bond(n, c, 1)
+        assert first_valence_error(m) == n
+        fixed, ok = fix_valence(m)
+        assert ok and fixed.atoms[n].charge == 1
+        sanitize(fixed)  # no raise
+
+    def test_molecular_weight(self):
+        m = ethanol()
+        assert m.molecular_weight() == pytest.approx(46.07, abs=0.05)
+
+
+class TestKekulize:
+    def test_benzene(self):
+        k = kekulize(benzene())
+        orders = sorted(b.order for b in k.bonds)
+        assert orders == [1, 1, 1, 2, 2, 2]
+
+    def test_pyridine(self):
+        k = kekulize(pyridine())
+        assert sorted(b.order for b in k.bonds) == [1, 1, 1, 2, 2, 2]
+
+    def test_pyrrole_needs_lone_pair(self):
+        m = pyrrole()
+        # without pyrrole-like N the 5-ring has no perfect matching
+        with pytest.raises(MolError):
+            kekulize(m)
+        k = kekulize(m, pyrrole_like={0})
+        assert sorted(b.order for b in k.bonds) == [1, 1, 1, 2, 2]
+        sanitize(m)  # sanitize finds the assignment itself
+
+    def test_acyclic_aromatic_rejected(self):
+        m = Mol()
+        a, b = m.add_atom(6), m.add_atom(6)
+        m.add_bond(a, b, AROMATIC)
+        with pytest.raises(MolError):
+            sanitize(m)
+
+    def test_naphthalene(self):
+        m = Mol()
+        for _ in range(10):
+            m.add_atom(6)
+        ring1 = [0, 1, 2, 3, 4, 5]
+        for i in range(6):
+            m.add_bond(ring1[i], ring1[(i + 1) % 6], AROMATIC)
+        # fused second ring on atoms 4,5
+        extra = [5, 6, 7, 8, 9, 4]
+        for i in range(5):
+            m.add_bond(extra[i], extra[i + 1], AROMATIC)
+        sanitize(m)
+        k = kekulize(m)
+        assert sorted(b.order for b in k.bonds).count(2) == 5
+
+
+class TestRings:
+    def test_sssr_benzene(self):
+        rings = benzene().ring_info()
+        assert len(rings) == 1 and len(rings[0]) == 6
+
+    def test_sssr_naphthalene(self):
+        m = Mol()
+        for _ in range(10):
+            m.add_atom(6)
+        for i in range(6):
+            m.add_bond(i, (i + 1) % 6, 1)
+        seq = [5, 6, 7, 8, 9, 4]
+        for i in range(5):
+            m.add_bond(seq[i], seq[i + 1], 1)
+        rings = m.ring_info()
+        assert len(rings) == 2
+        assert sorted(len(r) for r in rings) == [6, 6]
+
+    def test_spiro(self):
+        m = Mol()
+        for _ in range(9):
+            m.add_atom(6)
+        for i in range(4):
+            m.add_bond(i, (i + 1) % 5 if i < 4 else 0, 1)
+        m.add_bond(4, 0, 1)
+        # second ring sharing atom 0
+        m.add_bond(0, 5, 1)
+        m.add_bond(5, 6, 1)
+        m.add_bond(6, 7, 1)
+        m.add_bond(7, 8, 1)
+        m.add_bond(8, 0, 1)
+        rings = m.ring_info()
+        assert sorted(len(r) for r in rings) == [5, 5]
+
+
+class TestSmiles:
+    def test_ethanol(self):
+        assert mol_to_smiles(ethanol()) == "CCO"
+
+    def test_benzene(self):
+        assert mol_to_smiles(benzene()) == "c1ccccc1"
+
+    def test_disconnected(self):
+        m = Mol()
+        m.add_atom(6)
+        m.add_atom(8)
+        s = mol_to_smiles(m)
+        assert "." in s
+
+    def test_permutation_invariance(self, rng):
+        """Canonical SMILES must be identical under atom relabeling."""
+        base = Mol()
+        # 4-methylpyridine-ish: ring + substituent
+        n = base.add_atom(7)
+        ring = [n] + [base.add_atom(6) for _ in range(5)]
+        for i in range(6):
+            base.add_bond(ring[i], ring[(i + 1) % 6], AROMATIC)
+        me = base.add_atom(6)
+        base.add_bond(ring[3], me, 1)
+        o = base.add_atom(8)
+        base.add_bond(me, o, 2)  # aldehyde-ish
+        ref_smiles = mol_to_smiles(base)
+
+        for _ in range(10):
+            perm = rng.permutation(base.num_atoms)
+            inv = np.argsort(perm)
+            m2 = Mol()
+            for k in range(base.num_atoms):
+                a = base.atoms[perm[k]]
+                m2.add_atom(a.z, a.charge)
+            for b in base.bonds:
+                m2.add_bond(int(inv[b.i]), int(inv[b.j]), b.order)
+            assert mol_to_smiles(m2) == ref_smiles
+
+    def test_charge_token(self):
+        m = Mol()
+        nplus = m.add_atom(7, charge=1)
+        for _ in range(4):
+            c = m.add_atom(6)
+            m.add_bond(nplus, c, 1)
+        s = mol_to_smiles(m)
+        assert "[N+]" in s
+
+    def test_ring_closure_digits(self):
+        s = mol_to_smiles(benzene())
+        assert s.count("1") == 2
+
+
+class TestReconstruct:
+    def test_roundtrip_ok(self):
+        element = np.array([6, 6, 8])
+        pos = np.zeros((3, 3))
+        bond_index = np.array([[0, 1], [1, 2]]).T
+        bond_type = np.array([1, 1])
+        mol = reconstruct_from_generated(element, pos, bond_index, bond_type)
+        assert mol_to_smiles(mol) == "CCO"
+
+    def test_fix_cascade_ammonium(self):
+        element = np.array([7, 6, 6, 6, 6])
+        bond_index = np.array([[0, 1], [0, 2], [0, 3], [0, 4]]).T
+        bond_type = np.array([1, 1, 1, 1])
+        mol = reconstruct_from_generated(element, np.zeros((5, 3)), bond_index, bond_type)
+        assert mol.atoms[0].charge == 1
+
+    def test_unfixable_raises(self):
+        element = np.array([9, 6, 6])  # F with two bonds
+        bond_index = np.array([[0, 1], [0, 2]]).T
+        bond_type = np.array([1, 1])
+        with pytest.raises(MolError):
+            reconstruct_from_generated(element, np.zeros((3, 3)), bond_index, bond_type)
+
+    def test_duplicate_directed_bonds_collapse(self):
+        element = np.array([6, 6])
+        bond_index = np.array([[0, 1], [1, 0]]).T
+        bond_type = np.array([1, 1])
+        mol = reconstruct_from_generated(element, np.zeros((2, 3)), bond_index, bond_type)
+        assert mol.num_bonds == 1

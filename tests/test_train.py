@@ -1,0 +1,175 @@
+"""Train infra tests: optimizer/scheduler behavior, jitted DP train step on a
+virtual 8-device mesh, checkpoint round-trip, loss decrease on a tiny fit."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moldiff_tpu.models.moldiff import MolDiff
+from moldiff_tpu.ops import graph_ops
+from moldiff_tpu.parallel.mesh import make_mesh
+from moldiff_tpu.train.optim import (
+    ExpMinScheduler,
+    PlateauScheduler,
+    get_lr,
+    get_optimizer,
+    set_lr,
+)
+from moldiff_tpu.train.trainer import Trainer, load_checkpoint
+from moldiff_tpu.utils.config import Config
+
+
+def tiny_model_config():
+    return Config(
+        {
+            "node_dim": 16,
+            "edge_dim": 8,
+            "denoiser": {"num_blocks": 1, "cutoff": 10, "use_gate": True},
+            "diff": {
+                "num_timesteps": 20,
+                "time_dim": 4,
+                "categorical_space": "discrete",
+                "diff_pos": {"beta_schedule": "advance", "scale_start": 0.9999,
+                             "scale_end": 0.0001, "width": 3},
+                "diff_atom": {"init_prob": "tomask", "beta_schedule": "advance",
+                              "scale_start": 0.9999, "scale_end": 0.0001, "width": 3},
+                "diff_bond": {"init_prob": "absorb", "beta_schedule": "advance",
+                              "scale_start": 0.9999, "scale_end": 0.0001, "width": 3},
+            },
+        }
+    )
+
+
+def train_config():
+    return Config(
+        {
+            "pos_noise_std": 0.0,
+            "max_grad_norm": 50.0,
+            "optimizer": {"type": "adamw", "lr": 1e-3, "weight_decay": 1e-8,
+                          "beta1": 0.99, "beta2": 0.999},
+            "scheduler": {"type": "plateau", "factor": 0.5, "patience": 2,
+                          "min_lr": 1e-5},
+        }
+    )
+
+
+def make_batch(rng, b=8, n=6, kn=8, ke=6):
+    e = graph_ops.num_halfedges(n)
+    n_nodes = rng.integers(3, n + 1, size=b)
+    node_mask = (np.arange(n)[None] < n_nodes[:, None]).astype(np.float32)
+    return {
+        "node_type": rng.integers(0, kn - 1, (b, n)).astype(np.int32),
+        "pos": rng.normal(size=(b, n, 3)).astype(np.float32),
+        "halfedge_type": rng.integers(0, ke - 1, (b, e)).astype(np.int32),
+        "node_mask": node_mask,
+    }
+
+
+class TestOptim:
+    def test_lr_injection(self):
+        opt = get_optimizer({"type": "adamw", "lr": 1e-3, "max_grad_norm": 1.0})
+        params = {"w": jnp.ones((3,))}
+        st = opt.init(params)
+        assert get_lr(st) == pytest.approx(1e-3)
+        set_lr(st, 5e-4)
+        assert get_lr(st) == pytest.approx(5e-4)
+        # updates still work after injection
+        g = {"w": jnp.ones((3,))}
+        upd, st2 = opt.update(g, st, params)
+        assert jnp.all(jnp.isfinite(upd["w"]))
+
+    def test_grad_clip(self):
+        opt = get_optimizer({"type": "adam", "lr": 1.0, "max_grad_norm": 1.0})
+        params = {"w": jnp.zeros((4,))}
+        st = opt.init(params)
+        g = {"w": 1e6 * jnp.ones((4,))}
+        upd, _ = opt.update(g, st, params)
+        # adam normalizes; just check finite + correct sign
+        assert jnp.all(jnp.isfinite(upd["w"]))
+        assert jnp.all(upd["w"] < 0)
+
+    def test_plateau(self):
+        s = PlateauScheduler(factor=0.5, patience=2, min_lr=0.1)
+        lr = 1.0
+        lr = s.step(1.0, lr)   # improves (best=inf -> 1.0)
+        assert lr == 1.0
+        for _ in range(2):
+            lr = s.step(2.0, lr)  # bad x2 == patience, not yet > patience
+        assert lr == 1.0
+        lr = s.step(2.0, lr)      # 3rd bad > patience -> decay
+        assert lr == 0.5
+        for _ in range(20):
+            lr = s.step(2.0, lr)
+        assert lr == pytest.approx(0.1)  # floored
+
+    def test_expmin(self):
+        s = ExpMinScheduler(factor=0.5, min_lr=0.2, milestone=2)
+        lr = 1.0
+        lr = s.step(0, lr)  # epoch 1 < milestone
+        assert lr == 1.0
+        lr = s.step(0, lr)  # epoch 2 >= milestone
+        assert lr == 0.5
+
+
+class TestTrainer:
+    @pytest.fixture(scope="class")
+    def trainer(self):
+        model = MolDiff(tiny_model_config(), 8, 6)
+        mesh = make_mesh(len(jax.devices()))
+        return Trainer(model, train_config(), mesh=mesh)
+
+    def test_dp_step_and_loss_decreases(self, trainer, rng):
+        state = trainer.init_state(jax.random.key(0))
+        batch = make_batch(rng)
+        # eval with a FIXED key so the sampled timesteps/noise are identical
+        # before and after training (per-step losses vary hugely with t).
+        eval_key = jax.random.key(123)
+        loss_before = float(trainer.eval_step(state.params, batch, eval_key)["loss"])
+        for i in range(30):
+            state, aux = trainer.train_step(state, batch, jax.random.key(i))
+            assert np.isfinite(float(aux["loss"]))
+        loss_after = float(trainer.eval_step(state.params, batch, eval_key)["loss"])
+        assert loss_after < loss_before, (loss_before, loss_after)
+
+    def test_dp_matches_single_device(self, rng):
+        """The 8-device sharded step must equal the 1-device step bitwise-ish."""
+        model = MolDiff(tiny_model_config(), 8, 6)
+        batch = make_batch(rng)
+        results = []
+        for nd in (1, len(jax.devices())):
+            tr = Trainer(model, train_config(), mesh=make_mesh(nd))
+            st = tr.init_state(jax.random.key(0))
+            st, aux = tr.train_step(st, batch, jax.random.key(1))
+            results.append((float(aux["loss"]), jax.device_get(st.params)))
+        assert results[0][0] == pytest.approx(results[1][0], rel=1e-5)
+        flat0 = jax.tree.leaves(results[0][1])
+        flat1 = jax.tree.leaves(results[1][1])
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
+
+    def test_checkpoint_roundtrip(self, trainer, rng, tmp_path):
+        state = trainer.init_state(jax.random.key(0))
+        batch = make_batch(rng)
+        state, _ = trainer.train_step(state, batch, jax.random.key(1))
+        path = str(tmp_path / "ckpt.pkl")
+        trainer.save_checkpoint(path, state, model_config=tiny_model_config(),
+                                key=jax.random.key(2))
+        restored = trainer.load_checkpoint(path)
+        assert int(restored.step) == int(state.step)
+        for a, b in zip(jax.tree.leaves(jax.device_get(state.params)),
+                        jax.tree.leaves(jax.device_get(restored.params))):
+            np.testing.assert_array_equal(a, b)
+        # training continues from the restored state
+        restored, aux = trainer.train_step(restored, batch, jax.random.key(3))
+        assert np.isfinite(float(aux["loss"]))
+        blob = load_checkpoint(path)
+        assert blob["config"]["node_dim"] == 16
+
+    def test_scheduler_step_updates_lr(self, trainer):
+        state = trainer.init_state(jax.random.key(0))
+        lr0 = get_lr(state.opt_state)
+        for _ in range(5):
+            state = trainer.scheduler_step(state, 10.0)  # never improves after 1st
+        assert get_lr(state.opt_state) < lr0
