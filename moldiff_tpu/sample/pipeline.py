@@ -1,0 +1,172 @@
+"""Host-side sampling pipeline: generate-until-N with bucketed jitted chains.
+
+TPU-native analogue of the reference sampling loop
+(`/root/reference/scripts/sample_drug3d.py:100-170`):
+
+  draw sizes ~ N(24.9, 5.5) -> group by bucket -> per-bucket jitted
+  T-step reverse chain (compiled once per bucket) -> unpad -> decode ->
+  first-party sanitize cascade -> pool {finished, failed}
+
+Failed molecules (reconstruction error or disconnected SMILES) are tracked
+like the reference's `failed` pool with the 3x abort cap.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from ..chem.mol import Mol, MolError
+from ..chem.sanitize import reconstruct_from_generated
+from ..chem.smiles import mol_to_smiles
+from ..data.batching import DEFAULT_BUCKETS, node_mask_from_counts, unpad_arrays
+from ..data.featurize import GEOM_DRUG_SIZE_MEAN, GEOM_DRUG_SIZE_STD, MolFeaturizer
+
+
+class MolSampler:
+    """Wraps a MolDiff model (+ optional bond predictor guidance) with
+    per-bucket compiled sample functions and the decode/reconstruct path."""
+
+    def __init__(
+        self,
+        model,
+        featurizer: MolFeaturizer,
+        bond_predictor=None,           # (BondPredictor, params) or None
+        guidance: Optional[Tuple[str, float]] = None,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        batch_size: int = 128,
+        size_mean: float = GEOM_DRUG_SIZE_MEAN,
+        size_std: float = GEOM_DRUG_SIZE_STD,
+    ):
+        self.model = model
+        self.featurizer = featurizer
+        self.bond_predictor = bond_predictor
+        self.guidance = guidance
+        self.buckets = tuple(sorted(buckets))
+        self.batch_size = batch_size
+        self.size_mean = size_mean
+        self.size_std = size_std
+        self._compiled: Dict[int, callable] = {}
+
+    def _sample_fn(self, n_bucket: int):
+        if n_bucket not in self._compiled:
+            def fn(params, node_mask, key):
+                res = self.model.sample(
+                    params, node_mask, key,
+                    guidance=self.guidance,
+                    bond_predictor=self.bond_predictor,
+                )
+                return res.pred_node, res.pred_pos, res.pred_halfedge
+
+            self._compiled[n_bucket] = jax.jit(fn)
+        return self._compiled[n_bucket]
+
+    def draw_sizes(self, n_graphs: int, rng: np.random.Generator) -> np.ndarray:
+        """Sizes ~ N(mean, std) clipped to [3, max bucket] (reference
+        utils/transforms.py:125-135)."""
+        sizes = rng.normal(self.size_mean, self.size_std, size=n_graphs)
+        return np.clip(sizes.astype(np.int64), 3, self.buckets[-1])
+
+    def sample_sizes(
+        self, params, sizes: np.ndarray, key: jax.Array
+    ) -> List[dict]:
+        """Run the reverse chain for molecules of the given sizes; returns
+        per-molecule decoded dicts (element/pos/bond arrays, pre-sanitize).
+        Sizes are grouped by bucket; each group runs in fixed-size batches
+        (padded with throwaway graphs) so compile count stays ~len(buckets)."""
+        out: List[dict] = [None] * len(sizes)
+        order = np.argsort(sizes, kind="stable")
+        by_bucket: Dict[int, List[int]] = {}
+        for idx in order:
+            n = int(sizes[idx])
+            b = next(bk for bk in self.buckets if n <= bk)
+            by_bucket.setdefault(b, []).append(int(idx))
+
+        for n_bucket, idxs in sorted(by_bucket.items()):
+            fn = self._sample_fn(n_bucket)
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start:start + self.batch_size]
+                counts = np.array([sizes[i] for i in chunk], dtype=np.int32)
+                # pad to the fixed batch size with throwaway graphs
+                pad = self.batch_size - len(chunk)
+                if pad:
+                    counts = np.concatenate([counts, np.full(pad, 3, np.int32)])
+                node_mask = node_mask_from_counts(counts, n_bucket)
+                key, k = jax.random.split(key)
+                pred_node, pred_pos, pred_halfedge = fn(params, node_mask, k)
+                per_mol = unpad_arrays(
+                    {
+                        "pred_node": np.asarray(pred_node),
+                        "pred_pos": np.asarray(pred_pos),
+                        "pred_halfedge": np.asarray(pred_halfedge),
+                    },
+                    counts,
+                )
+                for local_i, global_i in enumerate(chunk):
+                    p = per_mol[local_i]
+                    out[global_i] = self.featurizer.decode_output(
+                        p["pred_node"], p["pred_pos"], p["pred_halfedge"]
+                    )
+        return out
+
+    def generate(
+        self,
+        params,
+        num_mols: int,
+        key: jax.Array,
+        rng: Optional[np.random.Generator] = None,
+        max_failures_factor: int = 3,
+        batch_graphs: Optional[int] = None,
+        logger=None,
+    ) -> Dict[str, list]:
+        """Generate until `num_mols` valid molecules (reference
+        scripts/sample_drug3d.py:100-170). Returns pool dict with entries
+        {mol, smiles, decoded} under 'finished' and {decoded, reason} under
+        'failed'."""
+        rng = rng or np.random.default_rng(0)
+        batch_graphs = batch_graphs or self.batch_size
+        pool = {"finished": [], "failed": []}
+        while len(pool["finished"]) < num_mols:
+            if len(pool["failed"]) > max_failures_factor * num_mols:
+                if logger:
+                    logger.warning("too many failed molecules, aborting")
+                break
+            sizes = self.draw_sizes(batch_graphs, rng)
+            key, k = jax.random.split(key)
+            decoded_list = self.sample_sizes(params, sizes, k)
+            for decoded in decoded_list:
+                entry = classify_decoded(decoded)
+                pool[entry["pool"]].append(entry)
+            if logger:
+                logger.info(
+                    f"pool: finished {len(pool['finished'])} | "
+                    f"failed {len(pool['failed'])}"
+                )
+        pool["finished"] = pool["finished"][:num_mols]
+        return pool
+
+
+def classify_decoded(decoded: dict) -> dict:
+    """Decode dict -> pool entry: sanitize cascade + disconnect check
+    (reference scripts/sample_drug3d.py:142-170)."""
+    try:
+        mol = reconstruct_from_generated(
+            decoded["element"],
+            decoded["atom_pos"],
+            decoded.get("bond_index"),
+            decoded.get("bond_type"),
+        )
+    except MolError:
+        return {"pool": "failed", "decoded": decoded, "reason": "recon_error"}
+    try:
+        smiles = mol_to_smiles(mol)
+    except Exception:
+        return {"pool": "failed", "decoded": decoded, "reason": "smiles_error"}
+    if "." in smiles:
+        return {
+            "pool": "failed", "decoded": decoded, "reason": "disconnect",
+            "mol": mol, "smiles": smiles,
+        }
+    return {"pool": "finished", "decoded": decoded, "mol": mol, "smiles": smiles}

@@ -1,0 +1,142 @@
+"""End-to-end pipeline tests: sample -> unpad -> decode -> reconstruct, SDF
+round-trip, and the classify/pool logic on handcrafted perfect predictions."""
+import numpy as np
+import pytest
+
+from moldiff_tpu.chem.mol import AROMATIC, Mol
+from moldiff_tpu.chem.sdf import mol_to_molblock, molblock_to_mol, read_sdf, write_sdf
+from moldiff_tpu.chem.smiles import mol_to_smiles
+from moldiff_tpu.data.featurize import MolFeaturizer
+from moldiff_tpu.models.moldiff import MolDiff
+from moldiff_tpu.sample.pipeline import MolSampler, classify_decoded
+from moldiff_tpu.utils.config import Config
+
+import jax
+
+
+def tiny_model():
+    cfg = Config(
+        {
+            "node_dim": 16,
+            "edge_dim": 8,
+            "denoiser": {"num_blocks": 1, "cutoff": 10, "use_gate": True},
+            "diff": {
+                "num_timesteps": 8,
+                "time_dim": 4,
+                "categorical_space": "discrete",
+                "diff_pos": {"beta_schedule": "advance", "scale_start": 0.9999,
+                             "scale_end": 0.0001, "width": 3},
+                "diff_atom": {"init_prob": "tomask", "beta_schedule": "advance",
+                              "scale_start": 0.9999, "scale_end": 0.0001, "width": 3},
+                "diff_bond": {"init_prob": "absorb", "beta_schedule": "advance",
+                              "scale_start": 0.9999, "scale_end": 0.0001, "width": 3},
+            },
+        }
+    )
+    return MolDiff(cfg, 8, 6)
+
+
+class TestSamplerPipeline:
+    def test_generate_runs_and_classifies(self):
+        model = tiny_model()
+        params = model.init_params(jax.random.key(0))
+        feat = MolFeaturizer()
+        sampler = MolSampler(model, feat, buckets=(8, 12), batch_size=16)
+        rng = np.random.default_rng(0)
+        sizes = np.array([5, 7, 9, 4], dtype=np.int64)
+        decoded = sampler.sample_sizes(params, sizes, jax.random.key(1))
+        assert len(decoded) == 4
+        for d, n in zip(decoded, sizes):
+            assert len(d["element"]) <= n  # mask atoms may be stripped
+            assert d["atom_pos"].shape[1] == 3
+        # pool classification must not crash (untrained model -> mostly failed)
+        pool = {"finished": 0, "failed": 0}
+        for d in decoded:
+            entry = classify_decoded(d)
+            pool[entry["pool"]] += 1
+        assert pool["finished"] + pool["failed"] == 4
+
+    def test_generate_pool_loop(self):
+        model = tiny_model()
+        params = model.init_params(jax.random.key(0))
+        sampler = MolSampler(model, MolFeaturizer(), buckets=(8,), batch_size=8,
+                             size_mean=5.0, size_std=1.0)
+        pool = sampler.generate(params, num_mols=2, key=jax.random.key(2),
+                                max_failures_factor=20, batch_graphs=8)
+        assert len(pool["finished"]) <= 2
+        # every entry classified
+        for e in pool["finished"]:
+            assert "smiles" in e and "." not in e["smiles"]
+
+    def test_perfect_prediction_roundtrip(self):
+        """Handcrafted logits for ethanol must survive decode+reconstruct
+        exactly (reference-style invariant, SURVEY.md section 4e)."""
+        feat = MolFeaturizer()
+        n = 3
+        # node logits: C C O (+pad classes); huge margins
+        pred_node = np.full((n, feat.num_node_types), -10.0)
+        pred_node[0, feat.ele_to_nodetype[6]] = 10.0
+        pred_node[1, feat.ele_to_nodetype[6]] = 10.0
+        pred_node[2, feat.ele_to_nodetype[8]] = 10.0
+        pred_pos = np.array([[0, 0, 0], [1.5, 0, 0], [2.2, 1.2, 0]], float)
+        e = 3
+        pred_he = np.full((e, feat.num_edge_types), -10.0)
+        # halfedges in triu order: (0,1), (0,2), (1,2)
+        pred_he[0, 1] = 10.0  # single bond 0-1
+        pred_he[1, 0] = 10.0  # none 0-2
+        pred_he[2, 1] = 10.0  # single bond 1-2
+        decoded = feat.decode_output(pred_node, pred_pos, pred_he)
+        entry = classify_decoded(decoded)
+        assert entry["pool"] == "finished"
+        assert entry["smiles"] == "CCO"
+        np.testing.assert_allclose(
+            np.stack([a.pos for a in entry["mol"].atoms]), pred_pos
+        )
+
+
+class TestSDF:
+    def test_molblock_roundtrip(self):
+        m = Mol()
+        c = m.add_atom(6, pos=(0.1, -0.2, 0.3))
+        o = m.add_atom(8, pos=(1.4, 0.0, 0.0))
+        nplus = m.add_atom(7, charge=1, pos=(0, 1, 0))
+        m.add_bond(c, o, 2)
+        m.add_bond(c, nplus, 1)
+        block = mol_to_molblock(m, name="test")
+        m2 = molblock_to_mol(block)
+        assert m2.num_atoms == 3 and m2.num_bonds == 2
+        assert m2.atoms[2].charge == 1
+        np.testing.assert_allclose(m2.atoms[0].pos, [0.1, -0.2, 0.3], atol=1e-4)
+        assert m2.bond_between(0, 1).order == 2
+
+    def test_sdf_multi(self, tmp_path):
+        mols = []
+        for k in range(3):
+            m = Mol()
+            a = m.add_atom(6, pos=(k, 0, 0))
+            b = m.add_atom(8, pos=(k, 1, 0))
+            m.add_bond(a, b, 1)
+            mols.append(m)
+        p = str(tmp_path / "out.sdf")
+        write_sdf(mols, p)
+        back = list(read_sdf(p))
+        assert len(back) == 3
+        assert all(x is not None and x.num_atoms == 2 for x in back)
+
+    def test_aromatic_bond_order_4(self, tmp_path):
+        m = Mol()
+        for _ in range(6):
+            m.add_atom(6, pos=(0, 0, 0))
+        for i in range(6):
+            m.add_bond(i, (i + 1) % 6, AROMATIC)
+        block = mol_to_molblock(m)
+        m2 = molblock_to_mol(block)
+        assert all(b.order == AROMATIC for b in m2.bonds)
+        assert mol_to_smiles(m2) == "c1ccccc1"
+
+    def test_bad_record_yields_none(self, tmp_path):
+        p = str(tmp_path / "bad.sdf")
+        with open(p, "w") as f:
+            f.write("junk\njunk\n\n  1  0  0\n$$$$\n")
+        out = list(read_sdf(p))
+        assert out == [None]
