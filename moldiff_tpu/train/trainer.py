@@ -25,7 +25,12 @@ import numpy as np
 import optax
 from jax.sharding import Mesh
 
-from ..parallel.mesh import batch_sharding, make_mesh, replicated
+from ..parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    pad_batch_to_multiple,
+    replicated,
+)
 from .optim import get_lr, get_optimizer, get_scheduler, set_lr
 
 
@@ -122,19 +127,19 @@ class Trainer:
         state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
         return jax.device_put(state, replicated(self.mesh))
 
+    def _put(self, batch: dict) -> dict:
+        """Pad the leading dim to a mesh-size multiple (padded rows fully
+        masked -> contribute nothing) and shard over the data axis."""
+        batch = {k: np.asarray(v) for k, v in batch.items()}
+        batch = pad_batch_to_multiple(batch, self.mesh.size)
+        s = batch_sharding(self.mesh)
+        return {k: jax.device_put(v, s) for k, v in batch.items()}
+
     def train_step(self, state: TrainState, batch: dict, key: jax.Array):
-        batch = {
-            k: jax.device_put(np.asarray(v), batch_sharding(self.mesh))
-            for k, v in batch.items()
-        }
-        return self._train_step(state, batch, key)
+        return self._train_step(state, self._put(batch), key)
 
     def eval_step(self, params, batch: dict, key: jax.Array):
-        batch = {
-            k: jax.device_put(np.asarray(v), batch_sharding(self.mesh))
-            for k, v in batch.items()
-        }
-        return self._eval_step(params, batch, key)
+        return self._eval_step(params, self._put(batch), key)
 
     def scheduler_step(self, state: TrainState, val_metric: float) -> TrainState:
         """Host-side reactive LR update between jitted steps."""
