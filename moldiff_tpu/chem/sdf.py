@@ -27,6 +27,10 @@ def mol_to_molblock(mol: Mol, name: str = "", comment: str = "moldiff_tpu") -> s
     )
     for i, a in enumerate(mol.atoms):
         x, y, z = (a.pos if a.pos is not None else (0.0, 0.0, 0.0))
+        if max(abs(x), abs(y), abs(z)) >= 1e4:  # "-9999.9999" is 10 cols
+            raise MolError(
+                f"coordinate overflow for V2000 atom block: ({x}, {y}, {z})"
+            )
         lines.append(
             f"{x:>10.4f}{y:>10.4f}{z:>10.4f} {a.symbol:<3s} 0  0  0  0  0  0  0  0  0  0  0  0"
         )

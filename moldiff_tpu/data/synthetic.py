@@ -77,7 +77,7 @@ def _embed_coords(mol: Mol, rng: np.random.Generator, iters: int = 60) -> None:
     bonded = np.zeros((n, n), dtype=bool)
     for b in mol.bonds:
         bonded[b.i, b.j] = bonded[b.j, b.i] = True
-    for _ in range(iters):
+    for it in range(iters):
         diff = pos[:, None, :] - pos[None, :, :]
         dist = np.linalg.norm(diff, axis=-1) + 1e-6
         np.fill_diagonal(dist, np.inf)
@@ -88,7 +88,10 @@ def _embed_coords(mol: Mol, rng: np.random.Generator, iters: int = 60) -> None:
         rep = np.where(~bonded & (dist < 2.0), (2.0 - dist), 0.0)
         np.fill_diagonal(rep, 0.0)
         f += np.sum(rep[..., None] * unit, axis=1) * 0.3
-        pos += f
+        # damped, clipped step so the layout can't explode
+        step = 0.5 * (1.0 - it / iters) + 0.05
+        f = np.clip(f, -1.0, 1.0)
+        pos += step * f
     pos -= pos.mean(axis=0)
     for i, a in enumerate(mol.atoms):
         a.pos = pos[i].astype(np.float64)
