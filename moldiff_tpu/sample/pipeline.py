@@ -50,18 +50,46 @@ class MolSampler:
         self.size_std = size_std
         self._compiled: Dict[int, callable] = {}
 
-    def _sample_fn(self, n_bucket: int):
-        if n_bucket not in self._compiled:
+    def _sample_fn(self, n_bucket: int, save_traj: bool = False):
+        cache_key = (n_bucket, save_traj)
+        if cache_key not in self._compiled:
             def fn(params, node_mask, key):
                 res = self.model.sample(
                     params, node_mask, key,
                     guidance=self.guidance,
                     bond_predictor=self.bond_predictor,
+                    save_traj=save_traj,
                 )
-                return res.pred_node, res.pred_pos, res.pred_halfedge
+                return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
-            self._compiled[n_bucket] = jax.jit(fn)
-        return self._compiled[n_bucket]
+            self._compiled[cache_key] = jax.jit(fn)
+        return self._compiled[cache_key]
+
+    def sample_with_traj(self, params, sizes: np.ndarray, key: jax.Array):
+        """Like sample_sizes but also returns the full denoising trajectory
+        (reference save_traj_prob path, scripts/sample_drug3d.py:166-170).
+        All sizes must fit one bucket; one batch only."""
+        n_bucket = next(bk for bk in self.buckets if max(sizes) <= bk)
+        counts = np.asarray(sizes, dtype=np.int32)
+        node_mask = node_mask_from_counts(counts, n_bucket)
+        fn = self._sample_fn(n_bucket, save_traj=True)
+        pred_node, pred_pos, pred_halfedge, traj = fn(params, node_mask, key)
+        per_mol = unpad_arrays(
+            {
+                "pred_node": np.asarray(pred_node),
+                "pred_pos": np.asarray(pred_pos),
+                "pred_halfedge": np.asarray(pred_halfedge),
+            },
+            counts,
+        )
+        decoded = [
+            self.featurizer.decode_output(
+                p["pred_node"], p["pred_pos"], p["pred_halfedge"]
+            )
+            for p in per_mol
+        ]
+        traj_np = tuple(np.asarray(t) for t in traj)  # (node, pos, halfedge)
+        return decoded, traj_np, counts
 
     def draw_sizes(self, n_graphs: int, rng: np.random.Generator) -> np.ndarray:
         """Sizes ~ N(mean, std) clipped to [3, max bucket] (reference
@@ -95,7 +123,7 @@ class MolSampler:
                     counts = np.concatenate([counts, np.full(pad, 3, np.int32)])
                 node_mask = node_mask_from_counts(counts, n_bucket)
                 key, k = jax.random.split(key)
-                pred_node, pred_pos, pred_halfedge = fn(params, node_mask, k)
+                pred_node, pred_pos, pred_halfedge, _ = fn(params, node_mask, k)
                 per_mol = unpad_arrays(
                     {
                         "pred_node": np.asarray(pred_node),

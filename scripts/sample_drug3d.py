@@ -111,6 +111,23 @@ def main(argv=None):
         f"({n_fin / max(dt, 1e-9):.2f} mols/s) | success {success:.3f}"
     )
 
+    # denoising trajectories for a few molecules (reference save_traj_prob,
+    # scripts/sample_drug3d.py:166-170)
+    traj_prob = float(config.sample.get("save_traj_prob", 0) or 0)
+    if traj_prob > 0:
+        n_traj = max(1, min(4, int(traj_prob * num_mols)))
+        sizes = sampler.draw_sizes(n_traj, rng)
+        key, k = jax.random.split(key)
+        decoded_t, traj, counts = sampler.sample_with_traj(params, sizes, k)
+        with open(os.path.join(out_dir, "trajectories.pkl"), "wb") as f:
+            pickle.dump(
+                {"decoded": decoded_t, "traj_node": traj[0],
+                 "traj_pos": traj[1], "traj_halfedge": traj[2],
+                 "n_nodes": counts},
+                f,
+            )
+        logger.info(f"saved {n_traj} trajectories")
+
     with open(os.path.join(out_dir, "SMILES.txt"), "w") as f:
         for e in pool["finished"]:
             f.write(e["smiles"] + "\n")

@@ -1,0 +1,73 @@
+"""Distance-based bond perception tests (EDM-table path equivalent)."""
+import numpy as np
+import pytest
+
+from moldiff_tpu.chem.bond_perception import (
+    expected_length,
+    get_bond_order,
+    mol_from_positions,
+    predict_bonds,
+)
+from moldiff_tpu.chem.smiles import mol_to_smiles
+from moldiff_tpu.data.synthetic import random_molecule
+
+
+class TestBondOrder:
+    def test_cc_single(self):
+        assert get_bond_order(6, 6, 1.54) == 1
+        assert get_bond_order(6, 6, 2.5) == 0
+
+    def test_cc_double_triple(self):
+        assert get_bond_order(6, 6, 1.33) == 2
+        assert get_bond_order(6, 6, 1.20) == 3
+
+    def test_co(self):
+        assert get_bond_order(6, 8, 1.43) == 1
+        assert get_bond_order(6, 8, 1.21) == 2
+
+    def test_expected_lengths_sane(self):
+        assert expected_length(6, 6, 1) == pytest.approx(1.52, abs=0.05)
+        assert expected_length(6, 7, 1) == pytest.approx(1.47, abs=0.05)
+
+
+class TestPredict:
+    def test_ethane_geometry(self):
+        element = np.array([6, 6])
+        pos = np.array([[0, 0, 0], [1.54, 0, 0]])
+        bi, bt = predict_bonds(element, pos)
+        assert bi.shape == (2, 1) and bt[0] == 1
+
+    def test_water_dimer_no_bond(self):
+        element = np.array([8, 8])
+        pos = np.array([[0, 0, 0], [2.8, 0, 0]])  # H-bond distance, not covalent
+        bi, bt = predict_bonds(element, pos)
+        assert bi.shape[1] == 0
+
+    def test_positions_only_reconstruction(self):
+        """mol_from_positions recovers connectivity of a synthetic molecule
+        from its force-layout coordinates (single bonds at ~1.5 A)."""
+        rng = np.random.default_rng(0)
+        recovered = 0
+        for _ in range(5):
+            mol = random_molecule(rng, double_prob=0.0, ring_prob=0.0)
+            element = np.array([a.z for a in mol.atoms])
+            pos = np.stack([a.pos for a in mol.atoms])
+            m2 = mol_from_positions(element, pos)
+            true_bonds = {(min(b.i, b.j), max(b.i, b.j)) for b in mol.bonds}
+            pred_bonds = {(min(b.i, b.j), max(b.i, b.j)) for b in m2.bonds}
+            inter = len(true_bonds & pred_bonds)
+            if inter >= 0.6 * len(true_bonds):
+                recovered += 1
+        # the synthetic force layout only approximates covalent distances,
+        # so perfect recovery isn't expected — majority recovery is
+        assert recovered >= 3
+
+    def test_prune_excess(self):
+        # 5 carbons all at ~1.5 A from a center -> center over-valent, prune
+        element = np.array([6] * 6)
+        pos = np.zeros((6, 3))
+        for k in range(5):
+            t = 2 * np.pi * k / 5
+            pos[k + 1] = [1.5 * np.cos(t), 1.5 * np.sin(t), 0.1 * k]
+        m = mol_from_positions(element, pos)
+        assert m.valence_sum(0) <= 4
