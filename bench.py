@@ -30,10 +30,12 @@ def main():
     from __graft_entry__ import _model_config
     from moldiff_tpu.models.moldiff import MolDiff
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
-    model = MolDiff(_model_config(), num_node_types=8, num_edge_types=6)
+    cfg = _model_config()
+    cfg["denoiser"]["dtype"] = "bfloat16"  # mixed-precision denoiser
+    model = MolDiff(cfg, num_node_types=8, num_edge_types=6)
     params = model.init_params(jax.random.key(0))
 
     node_mask = jnp.ones((batch, n), jnp.float32)

@@ -64,7 +64,10 @@ def node_block(p, x, edge_attr, node_time, pair_mask):
     """x: [B,N,Dn], edge_attr: [B,N,N,De], node_time: [B,1,1], pair_mask: [B,N,N].
 
     Reference graph.py:29-55. Row (receiver) = axis 1, col (sender) = axis 2.
+    Mask/time are cast to the compute dtype; the sender reduction
+    accumulates in float32.
     """
+    dt = x.dtype
     h_node = mlp(p["node_net"], x)                      # [B,N,H]
     h_edge = mlp(p["edge_net"], edge_attr)              # [B,N,N,H]
     msg = linear(p["msg_net"], h_edge * h_node[:, None, :, :])
@@ -74,13 +77,13 @@ def node_block(p, x, edge_attr, node_time, pair_mask):
             [
                 edge_attr,
                 jnp.broadcast_to(x[:, None, :, :], (b, n, n, x.shape[-1])),
-                jnp.broadcast_to(node_time[:, :, :, None], (b, n, n, 1)),
+                jnp.broadcast_to(node_time.astype(dt)[:, :, :, None], (b, n, n, 1)),
             ],
             axis=-1,
         )
         msg = msg * jax.nn.sigmoid(mlp(p["gate"], gate_in))
-    msg = msg * pair_mask[..., None]
-    aggr = jnp.sum(msg, axis=2)                          # scatter_sum over row
+    msg = msg * pair_mask.astype(dt)[..., None]
+    aggr = jnp.sum(msg, axis=2, dtype=jnp.float32).astype(dt)  # scatter_sum over row
     out = linear(p["centroid_lin"], x) + aggr
     out = layernorm(p["ln"], out)
     return linear(p["out"], jax.nn.relu(out))
@@ -115,7 +118,7 @@ def bond_ffn(p, bond_feat_in, node_feat_in, time):
             [
                 jnp.broadcast_to(bond_feat_in, shape + bond_feat_in.shape[-1:]),
                 jnp.broadcast_to(node_feat_in, shape + node_feat_in.shape[-1:]),
-                jnp.broadcast_to(time, shape + (1,)),
+                jnp.broadcast_to(time.astype(bond_feat_in.dtype), shape + (1,)),
             ],
             axis=-1,
         )
@@ -147,16 +150,17 @@ def edge_block(p, h_bond, h_node, bond_time, pair_mask):
       msg_right = BondFFN(h_bond, h_node[right]); U[k] = sum_{e: left=k} msg_right[e];
                   out[e] = U[right(e)]  -> dense: U = sum over axis2, out[i,j] = U[j]
     """
-    mask = pair_mask[..., None]
+    dt = h_bond.dtype
+    mask = pair_mask.astype(dt)[..., None]
     h_left = h_node[:, :, None, :]   # node at left/row index i
     h_right = h_node[:, None, :, :]  # node at right/col index j
 
     msg_left = bond_ffn(p["bond_ffn_left"], h_bond, h_left, bond_time) * mask
-    t_per_node = jnp.sum(msg_left, axis=1)                 # [B,N,De], indexed by right
+    t_per_node = jnp.sum(msg_left, axis=1, dtype=jnp.float32).astype(dt)
     msg_left_out = t_per_node[:, :, None, :]               # gather back by left index
 
     msg_right = bond_ffn(p["bond_ffn_right"], h_bond, h_right, bond_time) * mask
-    u_per_node = jnp.sum(msg_right, axis=2)                # [B,N,De], indexed by left
+    u_per_node = jnp.sum(msg_right, axis=2, dtype=jnp.float32).astype(dt)
     msg_right_out = u_per_node[:, None, :, :]              # gather back by right index
 
     h = (
@@ -189,10 +193,11 @@ def pos_update(p, h_node, h_edge, rel_vec, distance, edge_time, pair_mask):
     right_feat = mlp(p["right_lin_edge"], h_node)[:, None, :, :]
     weight = bond_ffn(p["edge_lin"], h_edge, left_feat * right_feat, edge_time)  # [B,N,N,1]
 
+    # position force in float32 regardless of compute dtype
     d = distance[..., None]
-    d_safe = jnp.where(pair_mask[..., None], d, 1.0)
-    force = weight * rel_vec / d_safe / (d_safe + 1.0)
-    force = force * pair_mask[..., None]
+    d_safe = jnp.where(pair_mask[..., None] > 0, d, 1.0)
+    force = weight.astype(jnp.float32) * rel_vec / d_safe / (d_safe + 1.0)
+    force = force * pair_mask.astype(jnp.float32)[..., None]
     return jnp.sum(force, axis=2)  # scatter_sum over left index i
 
 
@@ -208,10 +213,14 @@ def denoiser_static_config(
     update_pos: bool = True,
     num_gaussians: int = 16,
     start: float = 0.0,
+    dtype: str = "float32",
     **_unused,
 ) -> dict:
     """Static (non-trainable) architecture config; defaults mirror the
-    reference kwargs handling (graph.py:308-327)."""
+    reference kwargs handling (graph.py:308-327). ``dtype`` is the mixed-
+    precision compute dtype for node/edge features ('float32' or
+    'bfloat16'); positions, distances, LayerNorm statistics, and mask
+    reductions always run in float32."""
     return {
         "num_blocks": num_blocks,
         "cutoff": float(cutoff),
@@ -220,6 +229,7 @@ def denoiser_static_config(
         "update_pos": update_pos,
         "num_gaussians": num_gaussians,
         "start": float(start),
+        "dtype": dtype,
     }
 
 
@@ -277,11 +287,19 @@ def node_edge_net(
     )
     update_edge = static["update_edge"]
     update_pos = static["update_pos"]
+    compute_dtype = jnp.dtype(static.get("dtype", "float32"))
+    in_dtype = h_node.dtype
+
+    if compute_dtype != in_dtype:
+        cast = lambda x: x.astype(compute_dtype) if x.dtype == in_dtype else x
+        h_node = h_node.astype(compute_dtype)
+        h_edge = h_edge.astype(compute_dtype)
+        params = jax.tree.map(cast, params)
 
     def dist_feats(pos):
         rel = pos[:, :, None, :] - pos[:, None, :, :]
         dist = safe_distance(rel)
-        return smearing(dist), rel, dist
+        return smearing(dist).astype(compute_dtype), rel, dist
 
     # distances are recomputed per block only when positions move
     # (reference graph.py:351-357); otherwise computed once up front.
@@ -320,4 +338,4 @@ def node_edge_net(
     (h_node, pos_node, h_edge), _ = jax.lax.scan(
         block_fn, (h_node, pos_node, h_edge), params["blocks"]
     )
-    return h_node, pos_node, h_edge
+    return h_node.astype(in_dtype), pos_node, h_edge.astype(in_dtype)
