@@ -12,5 +12,6 @@ from .metrics import (
     groups_counts,
     ring_topo,
 )
+from .rmsd import best_embedding_rmsd, global_3d, kabsch_rmsd
 from .sa_score import FragmentScorer, sa_score, set_default_fragment_scorer
 from .similarity import SimilarityAnalysis

@@ -118,12 +118,19 @@ def ring_topo(mol: Mol) -> Dict[str, float]:
     }
 
 
+def _global_3d(mol: Mol) -> Dict[str, float]:
+    from .rmsd import global_3d
+
+    return global_3d(mol)
+
+
 _METRIC_FNS = {
     "drug_chem": drug_chem,
     "count_prop": count_prop,
     "frags_counts": frags_counts,
     "groups_counts": groups_counts,
     "ring_topo": ring_topo,
+    "global_3d": _global_3d,
 }
 
 

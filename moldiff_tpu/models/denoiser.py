@@ -214,6 +214,7 @@ def denoiser_static_config(
     num_gaussians: int = 16,
     start: float = 0.0,
     dtype: str = "float32",
+    remat: bool = True,
     **_unused,
 ) -> dict:
     """Static (non-trainable) architecture config; defaults mirror the
@@ -230,6 +231,7 @@ def denoiser_static_config(
         "num_gaussians": num_gaussians,
         "start": float(start),
         "dtype": dtype,
+        "remat": remat,
     }
 
 
@@ -272,7 +274,9 @@ def node_edge_net(
     node_time: jnp.ndarray,  # [B, 1, 1]  (t / T per graph)
     edge_time: jnp.ndarray,  # [B, 1, 1]
     pair_mask: jnp.ndarray,  # [B, N, N] float (1 = real directed edge)
-    remat: bool = True,
+    remat: "bool | None" = None,  # None -> static['remat']; only needed
+                                  # under autodiff (training); disable for
+                                  # forward-only sampling to cut compile time
 ):
     """Forward pass; returns (h_node, pos_node, h_edge).
 
@@ -332,6 +336,8 @@ def node_edge_net(
             )
         return (h_node, pos_node, h_edge_i), None
 
+    if remat is None:
+        remat = static.get("remat", True)
     if remat:
         block_fn = jax.checkpoint(block_fn, static_argnums=())
 

@@ -23,6 +23,7 @@ from ..chem.sanitize import reconstruct_from_generated
 from ..chem.smiles import mol_to_smiles
 from ..data.batching import DEFAULT_BUCKETS, node_mask_from_counts, unpad_arrays
 from ..data.featurize import GEOM_DRUG_SIZE_MEAN, GEOM_DRUG_SIZE_STD, MolFeaturizer
+from ..parallel.mesh import batch_sharding, replicated
 
 
 class MolSampler:
@@ -39,6 +40,7 @@ class MolSampler:
         batch_size: int = 128,
         size_mean: float = GEOM_DRUG_SIZE_MEAN,
         size_std: float = GEOM_DRUG_SIZE_STD,
+        mesh=None,
     ):
         self.model = model
         self.featurizer = featurizer
@@ -48,6 +50,14 @@ class MolSampler:
         self.batch_size = batch_size
         self.size_mean = size_mean
         self.size_std = size_std
+        # data-parallel sampling: batch sharded over the mesh, params
+        # replicated; partitionable threefry keeps results identical to
+        # single-device for the same key
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.size != 0:
+            raise ValueError(
+                f"batch_size {batch_size} must divide mesh size {mesh.size}"
+            )
         self._compiled: Dict[int, callable] = {}
 
     def _sample_fn(self, n_bucket: int, save_traj: bool = False):
@@ -62,7 +72,14 @@ class MolSampler:
                 )
                 return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
-            self._compiled[cache_key] = jax.jit(fn)
+            if self.mesh is not None:
+                rep = replicated(self.mesh)
+                data = batch_sharding(self.mesh)
+                self._compiled[cache_key] = jax.jit(
+                    fn, in_shardings=(rep, data, rep)
+                )
+            else:
+                self._compiled[cache_key] = jax.jit(fn)
         return self._compiled[cache_key]
 
     def sample_with_traj(self, params, sizes: np.ndarray, key: jax.Array):

@@ -90,10 +90,16 @@ def main(argv=None):
 
     num_mols = args.num_mols or config.sample.num_mols
     batch_size = args.batch_size or config.sample.batch_size
+    from moldiff_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh() if jax.device_count() > 1 else None
+    per_call = min(batch_size, 256)
+    if mesh is not None:
+        per_call -= per_call % mesh.size or 0
     sampler = MolSampler(
         model, featurizer,
         bond_predictor=bond_predictor, guidance=guidance,
-        batch_size=min(batch_size, 256),
+        batch_size=per_call, mesh=mesh,
     )
     key = jax.random.key(config.sample.seed)
     rng = np.random.default_rng(config.sample.seed)
