@@ -60,30 +60,42 @@ def init_node_block(key, node_dim, edge_dim, hidden_dim, use_gate):
     return p
 
 
-def node_block(p, x, edge_attr, node_time, pair_mask):
+def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False):
     """x: [B,N,Dn], edge_attr: [B,N,N,De], node_time: [B,1,1], pair_mask: [B,N,N].
 
     Reference graph.py:29-55. Row (receiver) = axis 1, col (sender) = axis 2.
     Mask/time are cast to the compute dtype; the sender reduction
-    accumulates in float32.
+    accumulates in float32. With ``use_pallas`` (gated variant, TPU) the
+    message+gate+sum pipeline runs as one fused Pallas kernel
+    (ops/pallas_kernels.py) keeping the [N,N,H] intermediates in VMEM.
     """
     dt = x.dtype
-    h_node = mlp(p["node_net"], x)                      # [B,N,H]
-    h_edge = mlp(p["edge_net"], edge_attr)              # [B,N,N,H]
-    msg = linear(p["msg_net"], h_edge * h_node[:, None, :, :])
-    if "gate" in p:
-        b, n = x.shape[0], x.shape[1]
-        gate_in = jnp.concatenate(
-            [
-                edge_attr,
-                jnp.broadcast_to(x[:, None, :, :], (b, n, n, x.shape[-1])),
-                jnp.broadcast_to(node_time.astype(dt)[:, :, :, None], (b, n, n, 1)),
-            ],
-            axis=-1,
+    if use_pallas and "gate" in p:
+        from ..ops.pallas_kernels import node_block_aggregate_tpu
+
+        aggr = node_block_aggregate_tpu(
+            {k: p[k] for k in ("node_net", "edge_net", "msg_net", "gate")},
+            x, edge_attr, node_time, pair_mask,
         )
-        msg = msg * jax.nn.sigmoid(mlp(p["gate"], gate_in))
-    msg = msg * pair_mask.astype(dt)[..., None]
-    aggr = jnp.sum(msg, axis=2, dtype=jnp.float32).astype(dt)  # scatter_sum over row
+    else:
+        h_node = mlp(p["node_net"], x)                      # [B,N,H]
+        h_edge = mlp(p["edge_net"], edge_attr)              # [B,N,N,H]
+        msg = linear(p["msg_net"], h_edge * h_node[:, None, :, :])
+        if "gate" in p:
+            b, n = x.shape[0], x.shape[1]
+            gate_in = jnp.concatenate(
+                [
+                    edge_attr,
+                    jnp.broadcast_to(x[:, None, :, :], (b, n, n, x.shape[-1])),
+                    jnp.broadcast_to(
+                        node_time.astype(dt)[:, :, :, None], (b, n, n, 1)
+                    ),
+                ],
+                axis=-1,
+            )
+            msg = msg * jax.nn.sigmoid(mlp(p["gate"], gate_in))
+        msg = msg * pair_mask.astype(dt)[..., None]
+        aggr = jnp.sum(msg, axis=2, dtype=jnp.float32).astype(dt)
     out = linear(p["centroid_lin"], x) + aggr
     out = layernorm(p["ln"], out)
     return linear(p["out"], jax.nn.relu(out))
@@ -215,6 +227,7 @@ def denoiser_static_config(
     start: float = 0.0,
     dtype: str = "float32",
     remat: bool = True,
+    use_pallas: bool = False,
     **_unused,
 ) -> dict:
     """Static (non-trainable) architecture config; defaults mirror the
@@ -232,6 +245,7 @@ def denoiser_static_config(
         "start": float(start),
         "dtype": dtype,
         "remat": remat,
+        "use_pallas": use_pallas,
     }
 
 
@@ -322,7 +336,8 @@ def node_edge_net(
         h_edge_i = linear(blk["edge_emb"], h_edge_in)
 
         h_node_delta = node_block(
-            blk["node_block"], h_node, h_edge_i, node_time, pair_mask
+            blk["node_block"], h_node, h_edge_i, node_time, pair_mask,
+            use_pallas=static.get("use_pallas", False),
         )
         if update_edge:
             h_edge_i = h_edge_i + edge_block(
