@@ -62,6 +62,7 @@ class BondPredictor:
         self.edge_weight = jnp.asarray(
             [0.1] + [1.0] * (num_edge_types - 1), dtype=jnp.float32
         )
+        self.pair_sharding = None  # see MolDiff.pair_sharding
 
     def init_params(self, key: jax.Array) -> dict:
         ks = jax.random.split(key, 4)
@@ -145,6 +146,7 @@ class BondPredictor:
             node_time=t_norm,
             edge_time=t_norm,
             pair_mask=pair_mask,
+            pair_sharding=self.pair_sharding,
         )
 
         iu, ju = graph_ops.triu_indices(n)

@@ -291,6 +291,9 @@ def node_edge_net(
     remat: "bool | None" = None,  # None -> static['remat']; only needed
                                   # under autodiff (training); disable for
                                   # forward-only sampling to cut compile time
+    pair_sharding=None,           # NamedSharding hint for [B,N,N,H] pair
+                                  # tensors (parallel.mesh.pair_sharding);
+                                  # GSPMD inserts the cross-shard reductions
 ):
     """Forward pass; returns (h_node, pos_node, h_edge).
 
@@ -314,10 +317,15 @@ def node_edge_net(
         h_edge = h_edge.astype(compute_dtype)
         params = jax.tree.map(cast, params)
 
+    def constrain(arr):
+        if pair_sharding is not None and arr.ndim >= 3:
+            return jax.lax.with_sharding_constraint(arr, pair_sharding)
+        return arr
+
     def dist_feats(pos):
         rel = pos[:, :, None, :] - pos[:, None, :, :]
         dist = safe_distance(rel)
-        return smearing(dist).astype(compute_dtype), rel, dist
+        return constrain(smearing(dist).astype(compute_dtype)), rel, dist
 
     # distances are recomputed per block only when positions move
     # (reference graph.py:351-357); otherwise computed once up front.
@@ -333,11 +341,12 @@ def node_edge_net(
             h_edge_in = jnp.concatenate([h_edge, h_dist], axis=-1)
         else:
             h_edge_in = h_dist
-        h_edge_i = linear(blk["edge_emb"], h_edge_in)
+        h_edge_i = constrain(linear(blk["edge_emb"], h_edge_in))
 
         h_node_delta = node_block(
             blk["node_block"], h_node, h_edge_i, node_time, pair_mask,
-            use_pallas=static.get("use_pallas", False),
+            # pallas kernel and GSPMD pair-sharding are mutually exclusive
+            use_pallas=static.get("use_pallas", False) and pair_sharding is None,
         )
         if update_edge:
             h_edge_i = h_edge_i + edge_block(

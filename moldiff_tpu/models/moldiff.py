@@ -111,6 +111,9 @@ class MolDiff:
         self.time_emb = GaussianSmearing(
             stop=self.num_timesteps, num_gaussians=self.time_dim, type_="linear"
         )
+        # optional NamedSharding hint for the dense pair tensors (set by the
+        # trainer when running on a ('data', 'graph') mesh)
+        self.pair_sharding = None
 
     # -- params --------------------------------------------------------------
 
@@ -174,6 +177,7 @@ class MolDiff:
             node_time=t_norm,
             edge_time=t_norm,
             pair_mask=pair_mask,
+            pair_sharding=self.pair_sharding,
         )
 
         pred_node = mlp(params["node_decoder"], h_node)

@@ -78,14 +78,23 @@ def _node_block_kernel(
     msg = (jnp.dot(hh.reshape(g_sz * n * n, -1), wm_ref[:],
                    preferred_element_type=jnp.float32) + bm_ref[:]).astype(dt)
 
-    # gate: sigmoid(MLP([e || x_j || t]))          [G*N*N, H]
-    xj = jnp.broadcast_to(
-        x.reshape(g_sz, 1, n, dn), (g_sz, n, n, dn)
-    ).reshape(g_sz * n * n, dn)
-    tcol = t_ref[:].reshape(g_sz * n * n, 1).astype(dt)
-    gate_in = jnp.concatenate([e, xj, tcol], axis=-1)
-    gt = (jnp.dot(gate_in, wg1_ref[:], preferred_element_type=jnp.float32)
-          + bg1_ref[:])
+    # gate: sigmoid(MLP([e || x_j || t])). The first Linear decomposes as
+    # e @ W[:De] + x_j @ W[De:De+Dn] + t * W[-1] + b — the x part is
+    # computed per *sender* ([G*N, H]) and broadcast over receivers,
+    # saving an N-fold factor on its matmul and skipping the concat.
+    de = e.shape[-1]
+    ge = jnp.dot(e, wg1_ref[:de], preferred_element_type=jnp.float32)
+    gx = jnp.dot(x, wg1_ref[de:de + dn], preferred_element_type=jnp.float32)
+    tvals = t_ref[:, 0, :].astype(jnp.float32)            # [G, 1] per-graph t
+    gt_t = jnp.dot(tvals, wg1_ref[de + dn:de + dn + 1],
+                   preferred_element_type=jnp.float32)     # [G, H]
+    h_dim = ge.shape[-1]
+    gt = (
+        ge.reshape(g_sz, n, n, h_dim)
+        + gx.reshape(g_sz, 1, n, h_dim)
+        + gt_t.reshape(g_sz, 1, 1, h_dim)
+        + bg1_ref[:]
+    ).reshape(g_sz * n * n, h_dim)
     gt = jax.nn.relu(_ln(gt, sg1_ref[:], bg1n_ref[:])).astype(dt)
     gt = (jnp.dot(gt, wg2_ref[:], preferred_element_type=jnp.float32)
           + bg2_ref[:])

@@ -18,6 +18,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+GRAPH_AXIS = "graph"  # shards the O(N^2) pair tensors' receiver axis
 
 
 def initialize_distributed(
@@ -42,6 +43,27 @@ def make_mesh(n_devices: Optional[int] = None, devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_graph: int, devices=None) -> Mesh:
+    """2-D mesh ('data', 'graph'): batch sharded over 'data', the dense
+    [B, N, N, H] pair tensors' receiver axis sharded over 'graph' — the
+    within-graph scaling axis (SURVEY.md section 2.3: the analogue of
+    sequence/context parallelism for the O(N^2) edge dimension)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: n_data * n_graph]).reshape(n_data, n_graph)
+    return Mesh(devices, (DATA_AXIS, GRAPH_AXIS))
+
+
+def pair_sharding(mesh: Mesh) -> Optional[NamedSharding]:
+    """Sharding hint for [B, N, N, H] pair tensors: batch over 'data',
+    receivers over 'graph' (when present). GSPMD propagates this through
+    the denoiser's matmuls and inserts the cross-shard collectives for
+    sender/receiver reductions."""
+    if GRAPH_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, GRAPH_AXIS))
+    return None
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

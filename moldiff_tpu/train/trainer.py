@@ -87,6 +87,12 @@ class Trainer:
             train_config["scheduler"], base_lr=float(opt_cfg["lr"])
         )
         self.mesh = mesh if mesh is not None else make_mesh()
+        # 2-D ('data', 'graph') mesh: hint the dense pair tensors' sharding
+        from ..parallel.mesh import pair_sharding as _pair_sharding
+
+        ps = _pair_sharding(self.mesh)
+        if ps is not None and hasattr(model, "pair_sharding"):
+            model.pair_sharding = ps
         self.loss_fn = make_loss_fn(
             model, pos_noise_std=float(train_config.get("pos_noise_std", 0.0))
         )
@@ -131,7 +137,8 @@ class Trainer:
         """Pad the leading dim to a mesh-size multiple (padded rows fully
         masked -> contribute nothing) and shard over the data axis."""
         batch = {k: np.asarray(v) for k, v in batch.items()}
-        batch = pad_batch_to_multiple(batch, self.mesh.size)
+        batch = pad_batch_to_multiple(batch, self.mesh.shape[
+            self.mesh.axis_names[0]])
         s = batch_sharding(self.mesh)
         return {k: jax.device_put(v, s) for k, v in batch.items()}
 

@@ -52,6 +52,8 @@ def main(argv=None):
     ap.add_argument("--max_iters", type=int, default=None)
     ap.add_argument("--resume", default=None)
     ap.add_argument("--num_devices", type=int, default=None)
+    ap.add_argument("--profile_at", type=int, default=0,
+                    help="capture a jax.profiler trace for 5 steps at this iter")
     args = ap.parse_args(argv)
 
     config = load_config(args.config)
@@ -92,11 +94,34 @@ def main(argv=None):
     ckpt_freq = config.train.get("ckpt_freq", val_freq)
     val_batches = config.train.get("val_batches", 16)
 
+    from moldiff_tpu.utils.profiling import StepTimer, trace
+
+    timer = StepTimer()
+    n_errors = 0
     t0 = time.time()
     for it in range(int(state.step) + 1, max_iters + 1):
+        if args.profile_at and it == args.profile_at:
+            with trace(os.path.join(log_dir, "profile")):
+                for _ in range(5):
+                    batch = next(train_loader)
+                    key, k = jax.random.split(key)
+                    state, aux = trainer.train_step(state, batch, k)
+                jax.block_until_ready(aux["loss"])
+            logger.info(f"profiler trace written to {log_dir}/profile")
+            continue
         batch = next(train_loader)
         key, k = jax.random.split(key)
-        state, aux = trainer.train_step(state, batch, k)
+        try:
+            state, aux = trainer.train_step(state, batch, k)
+        except Exception as e:  # skip-and-continue (reference
+            # scripts/train_drug3d.py:169-173 skips RuntimeError iters)
+            n_errors += 1
+            logger.warning(f"[it {it}] step error ({type(e).__name__}: {e}); "
+                           f"skipping ({n_errors} total)")
+            if n_errors > 50:
+                raise
+            continue
+        timer.tick()
 
         if it % 100 == 0 or it == 1:
             dt = time.time() - t0

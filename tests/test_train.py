@@ -173,3 +173,21 @@ class TestTrainer:
         for _ in range(5):
             state = trainer.scheduler_step(state, 10.0)  # never improves after 1st
         assert get_lr(state.opt_state) < lr0
+
+
+class Test2DMesh:
+    def test_graph_axis_sharding_matches_dp(self, rng):
+        """('data','graph') 2-D mesh must produce the same step as pure DP
+        (the pair-tensor sharding is numerically transparent)."""
+        from moldiff_tpu.parallel.mesh import make_mesh_2d
+
+        batch = make_batch(rng)
+        results = []
+        for mesh in (make_mesh(len(jax.devices())),
+                     make_mesh_2d(len(jax.devices()) // 2, 2)):
+            model = MolDiff(tiny_model_config(), 8, 6)
+            tr = Trainer(model, train_config(), mesh=mesh)
+            st = tr.init_state(jax.random.key(0))
+            st, aux = tr.train_step(st, batch, jax.random.key(1))
+            results.append(float(aux["loss"]))
+        assert results[0] == pytest.approx(results[1], rel=1e-5)
