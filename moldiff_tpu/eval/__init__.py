@@ -1,3 +1,4 @@
+from .alerts import count_alerts, num_alerts, passes_alert_filter
 from .descriptors import all_descriptors, crippen_logp, lipinski, qed, tpsa
 from .fingerprint import morgan_fingerprint, pairwise_diversity, tanimoto
 from .jsd import counter_jsd, hist_jsd, local3d_jsd

@@ -256,6 +256,8 @@ def _ads(x: float, p) -> float:
 
 
 def qed(mol: Mol) -> float:
+    from .alerts import num_alerts
+
     props = {
         "MW": mol.molecular_weight(),
         "ALOGP": crippen_logp(mol),
@@ -264,7 +266,8 @@ def qed(mol: Mol) -> float:
         "PSA": tpsa(mol),
         "ROTB": num_rotatable_bonds(mol),
         "AROM": num_aromatic_rings(mol),
-        "ALERTS": 0,  # no SMARTS alert library (documented approximation)
+        # structural alerts subset (eval/alerts.py), not the full Brenk set
+        "ALERTS": num_alerts(mol),
     }
     num = 0.0
     den = 0.0

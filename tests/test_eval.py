@@ -247,3 +247,46 @@ class TestSimilarity:
         s2 = SimilarityAnalysis(cache_path=p)
         gen = [random_molecule(rng) for _ in range(3)]
         assert s1.sim_with_train(gen) == pytest.approx(s2.sim_with_train(gen))
+
+
+class TestAlerts:
+    def test_nitro_detected(self):
+        from moldiff_tpu.eval.alerts import count_alerts
+
+        m = Mol()
+        c = m.add_atom(6)
+        n = m.add_atom(7, charge=1)
+        o1 = m.add_atom(8)
+        o2 = m.add_atom(8, charge=-1)
+        m.add_bond(c, n, 1)
+        m.add_bond(n, o1, 2)
+        m.add_bond(n, o2, 1)
+        assert count_alerts(m).get("nitro", 0) == 1
+
+    def test_peroxide_detected(self):
+        from moldiff_tpu.eval.alerts import count_alerts, passes_alert_filter
+
+        m = Mol()
+        c1, o1, o2, c2 = m.add_atom(6), m.add_atom(8), m.add_atom(8), m.add_atom(6)
+        m.add_bond(c1, o1, 1)
+        m.add_bond(o1, o2, 1)
+        m.add_bond(o2, c2, 1)
+        assert count_alerts(m).get("peroxide", 0) >= 1
+        assert not passes_alert_filter(m)
+
+    def test_benzene_clean(self):
+        from moldiff_tpu.eval.alerts import passes_alert_filter
+
+        assert passes_alert_filter(benzene())
+
+    def test_qed_penalizes_alerts(self):
+        # peroxide-bearing molecule scores lower QED than its clean analogue
+        clean = Mol()
+        a, b, c = clean.add_atom(6), clean.add_atom(6), clean.add_atom(6)
+        clean.add_bond(a, b, 1)
+        clean.add_bond(b, c, 1)
+        dirty = Mol()
+        a, b, c = dirty.add_atom(6), dirty.add_atom(8), dirty.add_atom(8)
+        dirty.add_bond(a, b, 1)
+        dirty.add_bond(b, c, 1)
+        assert qed(dirty) < qed(clean)
