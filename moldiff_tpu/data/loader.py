@@ -99,12 +99,21 @@ class BucketedLoader:
 
     def _emit(self, mols: List[dict], n_bucket: int) -> dict:
         mb = pad_mols(mols, n_max=n_bucket)
-        return {
+        out = {
             "node_type": mb.node_type,
             "pos": mb.pos,
             "halfedge_type": mb.halfedge_type,
             "node_mask": mb.node_mask,
         }
+        # pad partial batches to the fixed batch size with fully-masked rows
+        # so every emitted shape is one of len(buckets) compiled programs
+        # (a fresh shape means a multi-minute XLA compile on TPU)
+        short = self.batch_size - len(mols)
+        if short > 0:
+            for k, v in out.items():
+                pad_width = [(0, short)] + [(0, 0)] * (v.ndim - 1)
+                out[k] = np.pad(v, pad_width)
+        return out
 
     def __iter__(self) -> Iterator[dict]:
         if self.prefetch <= 0:

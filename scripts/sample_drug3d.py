@@ -60,6 +60,10 @@ def main(argv=None):
     # model + train config from checkpoint
     ckpt = load_checkpoint(config.model.checkpoint)
     train_config = Config(ckpt["config"])
+    # sampling never differentiates the denoiser: disable remat (it only
+    # multiplies XLA compile time here; guidance grads flow through the
+    # bond predictor, not this model)
+    train_config.model.denoiser["remat"] = False
     featurizer = featurizer_from_config(train_config)
     model = MolDiff(
         train_config.model,
