@@ -33,9 +33,58 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 REFERENCE_MOLS_PER_SEC = 0.5  # estimated PyTorch/A100 single-GPU throughput
 
 
+def bench_train(batch: int, n: int):
+    """Secondary metric: train steps/sec at full model size (invoke as
+    `python bench.py train [batch] [n]`)."""
+    import numpy as np
+
+    from __graft_entry__ import _model_config
+    from moldiff_tpu.models.moldiff import MolDiff
+    from moldiff_tpu.ops import graph_ops
+    from moldiff_tpu.train.trainer import Trainer
+    from moldiff_tpu.utils.config import Config
+
+    cfg = _model_config()
+    cfg["denoiser"]["dtype"] = "bfloat16"
+    model = MolDiff(cfg, 8, 6)
+    trainer = Trainer(model, Config({
+        "pos_noise_std": 0.05, "max_grad_norm": 50.0,
+        "optimizer": {"type": "adamw", "lr": 1e-4, "weight_decay": 1e-8,
+                      "beta1": 0.99, "beta2": 0.999},
+        "scheduler": {"type": "plateau", "factor": 0.8, "patience": 1000,
+                      "min_lr": 1e-5},
+    }))
+    state = trainer.init_state(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    e = graph_ops.num_halfedges(n)
+    batch_data = {
+        "node_type": rng.integers(0, 7, (batch, n)).astype(np.int32),
+        "pos": rng.normal(size=(batch, n, 3)).astype(np.float32),
+        "halfedge_type": rng.integers(0, 5, (batch, e)).astype(np.int32),
+        "node_mask": np.ones((batch, n), np.float32),
+    }
+    state, aux = trainer.train_step(state, batch_data, jax.random.key(1))
+    jax.block_until_ready(aux["loss"])
+    t0 = time.time()
+    steps = 20
+    for i in range(steps):
+        state, aux = trainer.train_step(state, batch_data, jax.random.key(i))
+    jax.block_until_ready(aux["loss"])
+    sps = steps / (time.time() - t0)
+    print(json.dumps({
+        "metric": "train_steps_per_sec", "value": round(sps, 2),
+        "unit": f"steps/sec (batch {batch})", "vs_baseline": None,
+    }))
+
+
 def main():
     from __graft_entry__ import _model_config
     from moldiff_tpu.models.moldiff import MolDiff
+
+    if len(sys.argv) > 1 and sys.argv[1] == "train":
+        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+        n = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+        return bench_train(batch, n)
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 32

@@ -41,6 +41,7 @@ class MolSampler:
         size_mean: float = GEOM_DRUG_SIZE_MEAN,
         size_std: float = GEOM_DRUG_SIZE_STD,
         mesh=None,
+        add_edge: Optional[str] = None,
     ):
         self.model = model
         self.featurizer = featurizer
@@ -54,6 +55,7 @@ class MolSampler:
         # replicated; partitionable threefry keeps results identical to
         # single-device for the same key
         self.mesh = mesh
+        self.add_edge = add_edge
         if mesh is not None and batch_size % mesh.size != 0:
             raise ValueError(
                 f"batch_size {batch_size} must divide mesh size {mesh.size}"
@@ -182,7 +184,7 @@ class MolSampler:
             key, k = jax.random.split(key)
             decoded_list = self.sample_sizes(params, sizes, k)
             for decoded in decoded_list:
-                entry = classify_decoded(decoded)
+                entry = classify_decoded(decoded, add_edge=self.add_edge)
                 pool[entry["pool"]].append(entry)
             if logger:
                 logger.info(
@@ -193,16 +195,29 @@ class MolSampler:
         return pool
 
 
-def classify_decoded(decoded: dict) -> dict:
+def classify_decoded(decoded: dict, add_edge: Optional[str] = None) -> dict:
     """Decode dict -> pool entry: sanitize cascade + disconnect check
-    (reference scripts/sample_drug3d.py:142-170)."""
+    (reference scripts/sample_drug3d.py:142-170).
+
+    ``add_edge``: None uses the model's predicted bonds; 'distance' (the
+    reference's 'edm' path, utils/reconstruct.py:204-212) re-perceives bonds
+    from interatomic distances instead.
+    """
     try:
-        mol = reconstruct_from_generated(
-            decoded["element"],
-            decoded["atom_pos"],
-            decoded.get("bond_index"),
-            decoded.get("bond_type"),
-        )
+        if add_edge in ("distance", "edm"):
+            from ..chem.bond_perception import mol_from_positions
+            from ..chem.sanitize import sanitize
+
+            mol = sanitize(mol_from_positions(
+                decoded["element"], decoded["atom_pos"]
+            ))
+        else:
+            mol = reconstruct_from_generated(
+                decoded["element"],
+                decoded["atom_pos"],
+                decoded.get("bond_index"),
+                decoded.get("bond_type"),
+            )
     except MolError:
         return {"pool": "failed", "decoded": decoded, "reason": "recon_error"}
     try:

@@ -95,6 +95,8 @@ def main(argv=None):
     ap.add_argument("--outdir", default=None)
     ap.add_argument("--limit", type=int, default=None)
     ap.add_argument("--parallel", action="store_true")
+    ap.add_argument("--global3d", action="store_true",
+                    help="also compute the (slow) re-embedding RMSD family")
     args = ap.parse_args(argv)
 
     if args.from_where == "generated":
@@ -114,8 +116,11 @@ def main(argv=None):
 
     # per-mol dataframe metrics
     rows = [dict() for _ in mols]
-    for family in ("drug_chem", "count_prop", "frags_counts", "groups_counts",
-                   "ring_topo"):
+    families = ["drug_chem", "count_prop", "frags_counts", "groups_counts",
+                "ring_topo"]
+    if args.global3d:
+        families.append("global_3d")
+    for family in families:
         for r, d in zip(rows, get_metric(mols, family, parallel=args.parallel)):
             r.update(d)
     df = pd.DataFrame(rows).fillna(0)

@@ -47,6 +47,9 @@ def main(argv=None):
     ap.add_argument("--outdir", default="./outputs")
     ap.add_argument("--num_mols", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--add_edge", choices=["distance"], default=None,
+                    help="re-perceive bonds from distances instead of the "
+                         "predicted bond types (reference 'edm' path)")
     args = ap.parse_args(argv)
 
     config = load_config(args.config)
@@ -100,10 +103,18 @@ def main(argv=None):
     per_call = min(batch_size, 256)
     if mesh is not None:
         per_call -= per_call % mesh.size or 0
+    # molecule-size distribution: explicit config keys override the
+    # GEOM-Drug defaults (reference always uses the GEOM stats,
+    # utils/transforms.py:128)
+    size_kw = {}
+    if config.sample.get("size_mean"):
+        size_kw["size_mean"] = float(config.sample.size_mean)
+    if config.sample.get("size_std"):
+        size_kw["size_std"] = float(config.sample.size_std)
     sampler = MolSampler(
         model, featurizer,
         bond_predictor=bond_predictor, guidance=guidance,
-        batch_size=per_call, mesh=mesh,
+        batch_size=per_call, mesh=mesh, add_edge=args.add_edge, **size_kw,
     )
     key = jax.random.key(config.sample.seed)
     rng = np.random.default_rng(config.sample.seed)
