@@ -81,13 +81,15 @@ def main():
     from __graft_entry__ import _model_config
     from moldiff_tpu.models.moldiff import MolDiff
 
-    if len(sys.argv) > 1 and sys.argv[1] == "train":
-        batch = int(sys.argv[2]) if len(sys.argv) > 2 else 256
-        n = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    mode = "sample"
+    argv = sys.argv[1:]
+    if argv and argv[0] in ("train", "guided"):
+        mode = argv[0]
+        argv = argv[1:]
+    batch = int(argv[0]) if len(argv) > 0 else (256 if mode == "train" else 128)
+    n = int(argv[1]) if len(argv) > 1 else 32
+    if mode == "train":
         return bench_train(batch, n)
-
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 128
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 
     cfg = _model_config()
     cfg["denoiser"]["dtype"] = "bfloat16"  # mixed-precision denoiser
@@ -96,11 +98,30 @@ def main():
     model = MolDiff(cfg, num_node_types=8, num_edge_types=6)
     params = model.init_params(jax.random.key(0))
 
+    guidance = None
+    bond_predictor = None
+    if mode == "guided":
+        # headline reference config: bond-predictor uncertainty guidance
+        # (configs/sample/sample_MolDiff.yml); predictor has no mask class
+        from moldiff_tpu.models.bond_predictor import BondPredictor
+        from moldiff_tpu.utils.config import Config
+
+        bp = BondPredictor(Config({
+            "node_dim": 256, "edge_dim": 64,
+            "encoder": {"num_blocks": 8, "cutoff": 20, "use_gate": True,
+                        "update_edge": True, "update_pos": False,
+                        "dtype": "bfloat16", "remat": False},
+            "diff": cfg["diff"],
+        }), 8, 5)
+        bond_predictor = (bp, bp.init_params(jax.random.key(5)))
+        guidance = ("uncertainty", 1e-4)
+
     node_mask = jnp.ones((batch, n), jnp.float32)
 
     @jax.jit
     def run(params, node_mask, key):
-        res = model.sample(params, node_mask, key)
+        res = model.sample(params, node_mask, key, guidance=guidance,
+                           bond_predictor=bond_predictor)
         return res.pred_node, res.pred_pos, res.pred_halfedge
 
     # compile
@@ -120,15 +141,16 @@ def main():
     mols_per_sec = batch / best
 
     n_chips = jax.device_count()
+    suffix = "_guided" if mode == "guided" else ""
     result = {
-        "metric": "mols_per_sec_per_chip",
+        "metric": f"mols_per_sec_per_chip{suffix}",
         "value": round(mols_per_sec / max(n_chips, 1), 3),
         "unit": "mols/sec/chip",
         "vs_baseline": round(mols_per_sec / max(n_chips, 1) / REFERENCE_MOLS_PER_SEC, 2),
     }
     print(json.dumps(result))
     print(
-        f"# batch={batch} n_atoms={n} T=1000 compile={compile_s:.1f}s "
+        f"# mode={mode} batch={batch} n_atoms={n} T=1000 compile={compile_s:.1f}s "
         f"best_run={best:.2f}s device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

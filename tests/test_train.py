@@ -191,3 +191,25 @@ class Test2DMesh:
             st, aux = tr.train_step(st, batch, jax.random.key(1))
             results.append(float(aux["loss"]))
         assert results[0] == pytest.approx(results[1], rel=1e-5)
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        import time as _time
+
+        from moldiff_tpu.utils.profiling import StepTimer
+
+        t = StepTimer(window=10)
+        assert t.tick() is None  # first tick has no interval
+        for _ in range(5):
+            _time.sleep(0.002)
+            dt = t.tick()
+            assert dt > 0
+        s = t.summary()
+        assert s["steps_per_sec"] > 0
+        assert s["p95_ms"] >= s["p50_ms"]
+
+    def test_device_memory_stats_no_crash(self):
+        from moldiff_tpu.utils.profiling import device_memory_stats
+
+        device_memory_stats()  # must not raise on any backend
