@@ -78,28 +78,40 @@ class MolDiff:
         self.num_timesteps = diff["num_timesteps"]
         self.time_dim = diff["time_dim"]
         self.categorical_space = diff.get("categorical_space", "discrete")
-        if self.categorical_space != "discrete":
-            raise NotImplementedError(
-                "only the discrete categorical space (the live reference path) is supported"
-            )
+        if self.categorical_space not in ("discrete", "continuous"):
+            raise ValueError(self.categorical_space)
+        # one-hot scaling for the continuous-categorical mode
+        # (reference model.py:50-57; scaling[0] is pos and must stay 1)
+        scaling = list(diff.get("scaling", [1.0, 1.0, 1.0]))
+        assert scaling[0] == 1, "scaling for pos must be 1"
 
         # transitions (reference model.py:49-95)
         pos_betas = get_beta_schedule(num_timesteps=self.num_timesteps, **diff["diff_pos"])
         self.pos_transition = GaussianTransition(pos_betas)
         node_betas = get_beta_schedule(
             num_timesteps=self.num_timesteps,
-            **{k: v for k, v in diff["diff_atom"].items() if k != "init_prob"},
-        )
-        self.node_transition = CategoricalTransition(
-            node_betas, num_node_types, init_prob=diff["diff_atom"]["init_prob"]
+            **{k: v for k, v in diff["diff_atom"].items()
+               if k not in ("init_prob",)},
         )
         edge_betas = get_beta_schedule(
             num_timesteps=self.num_timesteps,
-            **{k: v for k, v in diff["diff_bond"].items() if k != "init_prob"},
+            **{k: v for k, v in diff["diff_bond"].items()
+               if k not in ("init_prob",)},
         )
-        self.edge_transition = CategoricalTransition(
-            edge_betas, num_edge_types, init_prob=diff["diff_bond"]["init_prob"]
-        )
+        if self.categorical_space == "discrete":
+            self.node_transition = CategoricalTransition(
+                node_betas, num_node_types, init_prob=diff["diff_atom"]["init_prob"]
+            )
+            self.edge_transition = CategoricalTransition(
+                edge_betas, num_edge_types, init_prob=diff["diff_bond"]["init_prob"]
+            )
+        else:  # continuous: Gaussian diffusion on scaled one-hots
+            self.node_transition = GaussianTransition(
+                node_betas, num_classes=num_node_types, scaling=scaling[1]
+            )
+            self.edge_transition = GaussianTransition(
+                edge_betas, num_classes=num_edge_types, scaling=scaling[2]
+            )
 
         self.node_dim = config["node_dim"]
         self.edge_dim = config["edge_dim"]
@@ -205,12 +217,20 @@ class MolDiff:
         t = sample_time_antithetic(k_t, b, self.num_timesteps)
 
         pos_pert, _ = self.pos_transition.add_noise(node_pos, t, k_pos)
-        h_node_pert, log_node_t, log_node_0 = self.node_transition.add_noise(
-            node_type, t, k_node
-        )
-        h_halfedge_pert, log_halfedge_t, log_halfedge_0 = self.edge_transition.add_noise(
-            halfedge_type, t, k_edge
-        )
+        if self.categorical_space == "discrete":
+            h_node_pert, log_node_t, log_node_0 = self.node_transition.add_noise(
+                node_type, t, k_node
+            )
+            h_halfedge_pert, log_halfedge_t, log_halfedge_0 = (
+                self.edge_transition.add_noise(halfedge_type, t, k_edge)
+            )
+        else:
+            h_node_pert, h_node_0 = self.node_transition.add_noise(
+                node_type, t, k_node
+            )
+            h_halfedge_pert, h_halfedge_0 = self.edge_transition.add_noise(
+                halfedge_type, t, k_edge
+            )
 
         preds = self.forward(params, h_node_pert, pos_pert, h_halfedge_pert, t, node_mask)
 
@@ -228,30 +248,41 @@ class MolDiff:
             pred_len = safe_distance(preds.pred_pos[:, iu] - preds.pred_pos[:, ju])
             losses["loss_len"] = masked_mean((pred_len - true_len) ** 2, bond_mask)
 
-        # node / edge categorical KL (x100), reference model.py:174-185
-        log_node_recon = jax.nn.log_softmax(preds.pred_node, axis=-1)
-        log_node_post_true = self.node_transition.q_v_posterior(
-            log_node_0, log_node_t, t, v0_prob=True
-        )
-        log_node_post_pred = self.node_transition.q_v_posterior(
-            log_node_recon, log_node_t, t, v0_prob=True
-        )
-        kl_node = self.node_transition.compute_v_Lt(
-            log_node_post_true, log_node_post_pred, log_node_0, t
-        )
-        loss_node = masked_mean(kl_node, node_mask) * 100.0
+        if self.categorical_space == "discrete":
+            # node / edge categorical KL (x100), reference model.py:174-185
+            log_node_recon = jax.nn.log_softmax(preds.pred_node, axis=-1)
+            log_node_post_true = self.node_transition.q_v_posterior(
+                log_node_0, log_node_t, t, v0_prob=True
+            )
+            log_node_post_pred = self.node_transition.q_v_posterior(
+                log_node_recon, log_node_t, t, v0_prob=True
+            )
+            kl_node = self.node_transition.compute_v_Lt(
+                log_node_post_true, log_node_post_pred, log_node_0, t
+            )
+            loss_node = masked_mean(kl_node, node_mask) * 100.0
 
-        log_edge_recon = jax.nn.log_softmax(preds.pred_halfedge, axis=-1)
-        log_edge_post_true = self.edge_transition.q_v_posterior(
-            log_halfedge_0, log_halfedge_t, t, v0_prob=True
-        )
-        log_edge_post_pred = self.edge_transition.q_v_posterior(
-            log_edge_recon, log_halfedge_t, t, v0_prob=True
-        )
-        kl_edge = self.edge_transition.compute_v_Lt(
-            log_edge_post_true, log_edge_post_pred, log_halfedge_0, t
-        )
-        loss_edge = masked_mean(kl_edge, halfedge_mask) * 100.0
+            log_edge_recon = jax.nn.log_softmax(preds.pred_halfedge, axis=-1)
+            log_edge_post_true = self.edge_transition.q_v_posterior(
+                log_halfedge_0, log_halfedge_t, t, v0_prob=True
+            )
+            log_edge_post_pred = self.edge_transition.q_v_posterior(
+                log_edge_recon, log_halfedge_t, t, v0_prob=True
+            )
+            kl_edge = self.edge_transition.compute_v_Lt(
+                log_edge_post_true, log_edge_post_pred, log_halfedge_0, t
+            )
+            loss_edge = masked_mean(kl_edge, halfedge_mask) * 100.0
+        else:
+            # continuous: MSE to the scaled one-hots x30
+            # (reference model.py:186-189)
+            loss_node = masked_mean(
+                (preds.pred_node - h_node_0) ** 2, node_mask[..., None]
+            ) * 30.0
+            loss_edge = masked_mean(
+                (preds.pred_halfedge - h_halfedge_0) ** 2,
+                halfedge_mask[..., None],
+            ) * 30.0
 
         loss_total = loss_pos + loss_node + loss_edge + losses.get("loss_len", 0.0)
         losses.update(
@@ -278,6 +309,11 @@ class MolDiff:
         b, n = node_mask.shape
         e = graph_ops.num_halfedges(n)
         T = self.num_timesteps
+
+        if self.categorical_space == "continuous":
+            return self._sample_continuous(
+                params, node_mask, key, guidance, bond_predictor, save_traj
+            )
 
         k_node, k_pos, k_edge, k_scan = jax.random.split(key, 4)
         _, h_node, log_node = self.node_transition.sample_init((b, n), k_node)
@@ -345,6 +381,78 @@ class MolDiff:
         traj = None
         if save_traj:
             # prepend the prior state, matching reference traj[0] = init
+            traj = tuple(
+                jnp.concatenate([x0[None], y], axis=0)
+                for x0, y in zip((h_node, pos, h_halfedge), ys)
+            )
+        return SampleResult(preds.pred_node, preds.pred_pos, preds.pred_halfedge, traj)
+
+    def _sample_continuous(
+        self, params, node_mask, key, guidance=None, bond_predictor=None,
+        save_traj: bool = False,
+    ) -> SampleResult:
+        """Reverse sampler for the continuous categorical space: node/edge
+        one-hot features follow Gaussian posteriors like positions
+        (reference model.py:301-306)."""
+        b, n = node_mask.shape
+        e = graph_ops.num_halfedges(n)
+        T = self.num_timesteps
+
+        k_node, k_pos, k_edge, k_scan = jax.random.split(key, 4)
+        h_node = self.node_transition.sample_init(
+            (b, n, self.num_node_types), k_node
+        )
+        pos = self.pos_transition.sample_init((b, n, 3), k_pos)
+        h_halfedge = self.edge_transition.sample_init(
+            (b, e, self.num_edge_types), k_edge
+        )
+        zero_preds = MolDiffPreds(
+            jnp.zeros((b, n, self.num_node_types)),
+            jnp.zeros((b, n, 3)),
+            jnp.zeros((b, e, self.num_edge_types)),
+        )
+
+        def body(carry, step):
+            pos, h_node, h_halfedge, _, key = carry
+            key, k_pos, k_node, k_edge = jax.random.split(key, 4)
+            t = jnp.full((b,), step, dtype=jnp.int32)
+
+            preds = self.forward(params, h_node, pos, h_halfedge, t, node_mask)
+            pos_prev = self.pos_transition.get_prev_from_recon(
+                x_t=pos, x_recon=preds.pred_pos, t=t, key=k_pos
+            )
+            h_node_prev = self.node_transition.get_prev_from_recon(
+                x_t=h_node, x_recon=preds.pred_node, t=t, key=k_node
+            )
+            h_halfedge_prev = self.edge_transition.get_prev_from_recon(
+                x_t=h_halfedge, x_recon=preds.pred_halfedge, t=t, key=k_edge
+            )
+
+            if guidance is not None:
+                gui_type, gui_scale = guidance
+                if gui_scale > 0:
+                    halfedge_type_prev = jnp.argmax(h_halfedge_prev, axis=-1)
+                    delta = _bond_guidance_delta(
+                        bond_predictor, gui_type, gui_scale,
+                        h_node_pert=h_node, pos_pert=pos, t=t,
+                        node_mask=node_mask,
+                        halfedge_type_prev=halfedge_type_prev,
+                        log_halfedge_type=jax.nn.log_softmax(
+                            h_halfedge_prev, axis=-1
+                        ),
+                    )
+                    pos_prev = pos_prev + delta
+
+            carry = (pos_prev, h_node_prev, h_halfedge_prev, preds, key)
+            ys = (h_node_prev, pos_prev, h_halfedge_prev) if save_traj else None
+            return carry, ys
+
+        init = (pos, h_node, h_halfedge, zero_preds, k_scan)
+        steps = jnp.arange(T - 1, -1, -1)
+        carry, ys = jax.lax.scan(body, init, steps)
+        preds = carry[3]
+        traj = None
+        if save_traj:
             traj = tuple(
                 jnp.concatenate([x0[None], y], axis=0)
                 for x0, y in zip((h_node, pos, h_halfedge), ys)

@@ -20,9 +20,16 @@ class GaussianTransition:
 
     Args:
       betas: float64 numpy array [T] from ``schedules.get_beta_schedule``.
+      num_classes / scaling: when set, ``add_noise`` accepts integer class
+        arrays, one-hot encodes and divides by ``scaling`` before perturbing,
+        returning (x_t, x0_scaled) — the reference's *continuous categorical*
+        mode (models/transition.py:28-41).
     """
 
-    def __init__(self, betas: np.ndarray):
+    def __init__(self, betas: np.ndarray, num_classes: "int | None" = None,
+                 scaling: float = 1.0):
+        self.num_classes = num_classes
+        self.scaling = float(scaling)
         betas = np.asarray(betas, dtype=np.float64)
         alphas = 1.0 - betas
         alphas_bar = np.cumprod(alphas, axis=0)
@@ -48,8 +55,16 @@ class GaussianTransition:
     def add_noise(self, x: jnp.ndarray, t: jnp.ndarray, key: jax.Array):
         """Sample x_t ~ q(x_t | x_0).  x: [B, ...], t: [B] int32.
 
-        Returns (x_t, noise). Reference models/transition.py:28-41.
+        Continuous values: returns (x_t, noise). With ``num_classes`` set
+        (continuous-categorical mode), x holds int class indices; returns
+        (x_t, x0_onehot_scaled). Reference models/transition.py:28-41.
         """
+        if self.num_classes is not None:
+            x0 = jax.nn.one_hot(x, self.num_classes, dtype=jnp.float32) / self.scaling
+            a_bar = self._bcast(self.alphas_bar[t], x0.ndim)
+            noise = jax.random.normal(key, x0.shape, dtype=x0.dtype)
+            pert = jnp.sqrt(a_bar) * x0 + jnp.sqrt(1.0 - a_bar) * noise
+            return pert, x0
         a_bar = self._bcast(self.alphas_bar[t], x.ndim)
         noise = jax.random.normal(key, x.shape, dtype=x.dtype)
         pert = jnp.sqrt(a_bar) * x + jnp.sqrt(1.0 - a_bar) * noise
