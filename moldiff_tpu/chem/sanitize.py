@@ -228,11 +228,10 @@ def fix_aromatic(mol: Mol, strict: bool = False) -> Optional[Mol]:
             except MolError:
                 continue
             if first_valence_error(kek) is None:
+                # the successful pyrrole-like assignment proves
+                # kekulizability; the aromatic mol itself is returned
+                # (sanitize re-derives the assignment when needed)
                 out = mol.copy()
-                for i in combo:
-                    # pyrrole-like: lone pair in ring; nothing structural to
-                    # store beyond the (successful) kekulizability
-                    pass
                 if strict:
                     try:
                         sanitize(out)

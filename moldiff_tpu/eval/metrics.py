@@ -38,15 +38,15 @@ def drug_chem(mol: Mol) -> Dict[str, float]:
 
 
 def count_prop(mol: Mol) -> Dict[str, float]:
-    rings = mol.ring_info()
+    d = all_descriptors(mol)
     return {
         "n_atoms": mol.num_atoms,
         "n_bonds": mol.num_bonds,
-        "n_rings": len(rings),
-        "n_rotatable": all_descriptors(mol)["rotb"],
-        "weight": mol.molecular_weight(),
-        "n_hacc": all_descriptors(mol)["hba"],
-        "n_hdon": all_descriptors(mol)["hbd"],
+        "n_rings": d["n_rings"],
+        "n_rotatable": d["rotb"],
+        "weight": d["mw"],
+        "n_hacc": d["hba"],
+        "n_hdon": d["hbd"],
     }
 
 
