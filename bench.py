@@ -118,11 +118,19 @@ def main():
 
     node_mask = jnp.ones((batch, n), jnp.float32)
 
-    @jax.jit
-    def run(params, node_mask, key):
-        res = model.sample(params, node_mask, key, guidance=guidance,
-                           bond_predictor=bond_predictor)
-        return res.pred_node, res.pred_pos, res.pred_halfedge
+    if mode == "guided":
+        # chunked: one full guided chain exceeds device-execution deadlines
+        def run(params, node_mask, key):
+            res = model.sample_chunked(
+                params, node_mask, key, chunk_size=100,
+                guidance=guidance, bond_predictor=bond_predictor,
+            )
+            return res.pred_node, res.pred_pos, res.pred_halfedge
+    else:
+        @jax.jit
+        def run(params, node_mask, key):
+            res = model.sample(params, node_mask, key)
+            return res.pred_node, res.pred_pos, res.pred_halfedge
 
     # compile
     t0 = time.time()

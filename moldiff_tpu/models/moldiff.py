@@ -326,6 +326,28 @@ class MolDiff:
             jnp.zeros((b, e, self.num_edge_types)),
         )
 
+        body = self._make_scan_body(
+            params, node_mask, guidance, bond_predictor, save_traj
+        )
+        init = (pos, h_node, h_halfedge, log_node, log_halfedge, zero_preds, k_scan)
+        steps = jnp.arange(T - 1, -1, -1)
+        carry, ys = jax.lax.scan(body, init, steps)
+        preds = carry[5]
+        traj = None
+        if save_traj:
+            # prepend the prior state, matching reference traj[0] = init
+            traj = tuple(
+                jnp.concatenate([x0[None], y], axis=0)
+                for x0, y in zip((h_node, pos, h_halfedge), ys)
+            )
+        return SampleResult(preds.pred_node, preds.pred_pos, preds.pred_halfedge, traj)
+
+    def _make_scan_body(self, params, node_mask, guidance, bond_predictor,
+                        save_traj: bool):
+        """One reverse step of the discrete sampler (shared by the single
+        lax.scan and the chunked variant). Reference model.py:271-367."""
+        b = node_mask.shape[0]
+
         def body(carry, step):
             pos, h_node, h_halfedge, log_node, log_halfedge, _, key = carry
             key, k_pos, k_node, k_edge = jax.random.split(key, 4)
@@ -374,18 +396,63 @@ class MolDiff:
             ys = (h_node_prev, pos_prev, h_halfedge_prev) if save_traj else None
             return carry, ys
 
-        init = (pos, h_node, h_halfedge, log_node, log_halfedge, zero_preds, k_scan)
-        steps = jnp.arange(T - 1, -1, -1)
-        carry, ys = jax.lax.scan(body, init, steps)
+        return body
+
+    def sample_chunked(
+        self,
+        params,
+        node_mask: jnp.ndarray,
+        key: jax.Array,
+        chunk_size: int,
+        guidance: Optional[Tuple[str, float]] = None,
+        bond_predictor=None,
+    ) -> SampleResult:
+        """The T-step reverse chain as T/chunk_size sequential jitted scans
+        with the carry threaded on host.
+
+        Needed when one device execution of the full chain exceeds runtime
+        deadlines (e.g. guided sampling: denoiser + bond-predictor grad per
+        step ~40-60s total on one chip trips the axon RPC watchdog). Each
+        chunk has identical shapes, so there is exactly ONE compile; results
+        are bitwise-identical to the single-scan path (scan is sequential).
+        Discrete categorical space only.
+        """
+        assert self.categorical_space == "discrete"
+        b, n = node_mask.shape
+        e = graph_ops.num_halfedges(n)
+        T = self.num_timesteps
+        assert T % chunk_size == 0, (T, chunk_size)
+
+        k_node, k_pos, k_edge, k_scan = jax.random.split(key, 4)
+        _, h_node, log_node = self.node_transition.sample_init((b, n), k_node)
+        pos = self.pos_transition.sample_init((b, n, 3), k_pos)
+        _, h_halfedge, log_halfedge = self.edge_transition.sample_init((b, e), k_edge)
+        zero_preds = MolDiffPreds(
+            jnp.zeros((b, n, self.num_node_types)),
+            jnp.zeros((b, n, 3)),
+            jnp.zeros((b, e, self.num_edge_types)),
+        )
+
+        cache_key = (b, n, chunk_size, guidance, bond_predictor is not None)
+        if not hasattr(self, "_chunk_fns"):
+            self._chunk_fns = {}
+        if cache_key not in self._chunk_fns:
+            def chunk_fn(params, node_mask, carry, steps):
+                body = self._make_scan_body(
+                    params, node_mask, guidance, bond_predictor, save_traj=False
+                )
+                return jax.lax.scan(body, carry, steps)
+
+            self._chunk_fns[cache_key] = jax.jit(chunk_fn)
+        fn = self._chunk_fns[cache_key]
+
+        carry = (pos, h_node, h_halfedge, log_node, log_halfedge, zero_preds, k_scan)
+        all_steps = np.arange(T - 1, -1, -1)
+        for c in range(T // chunk_size):
+            steps = jnp.asarray(all_steps[c * chunk_size:(c + 1) * chunk_size])
+            carry, _ = fn(params, node_mask, carry, steps)
         preds = carry[5]
-        traj = None
-        if save_traj:
-            # prepend the prior state, matching reference traj[0] = init
-            traj = tuple(
-                jnp.concatenate([x0[None], y], axis=0)
-                for x0, y in zip((h_node, pos, h_halfedge), ys)
-            )
-        return SampleResult(preds.pred_node, preds.pred_pos, preds.pred_halfedge, traj)
+        return SampleResult(preds.pred_node, preds.pred_pos, preds.pred_halfedge, None)
 
     def _sample_continuous(
         self, params, node_mask, key, guidance=None, bond_predictor=None,

@@ -42,6 +42,7 @@ class MolSampler:
         size_std: float = GEOM_DRUG_SIZE_STD,
         mesh=None,
         add_edge: Optional[str] = None,
+        chunk_steps: Optional[int] = None,
     ):
         self.model = model
         self.featurizer = featurizer
@@ -56,6 +57,10 @@ class MolSampler:
         # single-device for the same key
         self.mesh = mesh
         self.add_edge = add_edge
+        # chunk the reverse chain into shorter device executions (needed for
+        # guided sampling: one full-chain execution can exceed runtime RPC
+        # deadlines); None = single lax.scan
+        self.chunk_steps = chunk_steps
         if mesh is not None and batch_size % mesh.size != 0:
             raise ValueError(
                 f"batch_size {batch_size} must divide mesh size {mesh.size}"
@@ -65,6 +70,19 @@ class MolSampler:
     def _sample_fn(self, n_bucket: int, save_traj: bool = False):
         cache_key = (n_bucket, save_traj)
         if cache_key not in self._compiled:
+            if self.chunk_steps and not save_traj:
+                # host-chunked chain; the per-chunk scans are jitted inside
+                def fn(params, node_mask, key):
+                    res = self.model.sample_chunked(
+                        params, node_mask, key, chunk_size=self.chunk_steps,
+                        guidance=self.guidance,
+                        bond_predictor=self.bond_predictor,
+                    )
+                    return res.pred_node, res.pred_pos, res.pred_halfedge, None
+
+                self._compiled[cache_key] = fn
+                return fn
+
             def fn(params, node_mask, key):
                 res = self.model.sample(
                     params, node_mask, key,

@@ -114,10 +114,17 @@ def main(argv=None):
         size_kw["size_mean"] = float(config.sample.size_mean)
     if config.sample.get("size_std"):
         size_kw["size_std"] = float(config.sample.size_std)
+    # guided chains run denoiser + bond-predictor grad per step; chunk them
+    # so one device execution stays under runtime deadlines
+    chunk_steps = None
+    if guidance is not None:
+        T = model.num_timesteps
+        chunk_steps = next(c for c in (100, 50, 25, 20, 10, 5, 1) if T % c == 0)
     sampler = MolSampler(
         model, featurizer,
         bond_predictor=bond_predictor, guidance=guidance,
-        batch_size=per_call, mesh=mesh, add_edge=args.add_edge, **size_kw,
+        batch_size=per_call, mesh=mesh, add_edge=args.add_edge,
+        chunk_steps=chunk_steps, **size_kw,
     )
     key = jax.random.key(config.sample.seed)
     rng = np.random.default_rng(config.sample.seed)

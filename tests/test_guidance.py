@@ -133,3 +133,17 @@ def test_traj_saving(setup):
     T = model.num_timesteps
     assert pos_traj.shape[0] == T + 1  # prior + T steps
     assert np.isfinite(np.asarray(pos_traj)).all()
+
+
+def test_chunked_equals_single_scan(setup):
+    """sample_chunked must be bitwise-identical to the single lax.scan
+    (chunking just splits the sequential scan)."""
+    model, params, bp, bp_params, node_mask = setup
+    kw = dict(guidance=("uncertainty", 1e-2), bond_predictor=(bp, bp_params))
+    r1 = model.sample(params, node_mask, jax.random.key(9), **kw)
+    r2 = model.sample_chunked(params, node_mask, jax.random.key(9),
+                              chunk_size=2, **kw)
+    np.testing.assert_allclose(np.asarray(r1.pred_pos), np.asarray(r2.pred_pos),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r1.pred_node),
+                               np.asarray(r2.pred_node), rtol=1e-5, atol=1e-6)
