@@ -12,7 +12,7 @@ from typing import Iterator, List, Optional, TextIO, Union
 
 import numpy as np
 
-from .mol import AROMATIC, Mol, MolError
+from .mol import Mol, MolError
 from .periodic import SYMBOL_TO_Z
 
 _CHG_CODE = {3: +1, 2: +2, 1: +3, 5: -1, 6: -2, 7: -3}  # mol-file charge codes

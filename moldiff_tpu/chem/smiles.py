@@ -16,7 +16,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Set, Tuple
 
 from .mol import AROMATIC, Mol
-from .periodic import ELECTRONEGATIVITY, ELEMENTS, ORGANIC_SUBSET
+from .periodic import ELEMENTS, ORGANIC_SUBSET
 from .sanitize import perceive_aromaticity
 
 BOND_SYMBOL = {1: "", 2: "=", 3: "#"}

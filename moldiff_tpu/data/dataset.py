@@ -22,7 +22,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..chem.mol import AROMATIC, Mol, MolError
+from ..chem.mol import Mol, MolError
 from ..chem.sdf import read_sdf
 from .record_store import RecordReader, RecordWriter
 

@@ -10,12 +10,11 @@ Class vocabularies (GEOM-Drug defaults):
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 import numpy as np
 
-from ..ops.graph_ops import num_halfedges, triu_indices
+from ..ops.graph_ops import triu_indices
 
 GEOM_DRUG_ATOMIC_NUMBERS = (6, 7, 8, 9, 15, 16, 17)  # C N O F P S Cl
 GEOM_DRUG_BOND_TYPES = (1, 2, 3, 4)  # single double triple aromatic

@@ -9,7 +9,7 @@ crude force-layout, good enough for schedule/loss plumbing.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Dict, List
 
-from ..chem.mol import AROMATIC, Mol
+from ..chem.mol import Mol
 from .local3d import match_paths
 
 # linear-path alerts (name -> SMARTS-subset pattern)

@@ -19,7 +19,7 @@ from typing import Dict, FrozenSet, List, Set, Tuple
 
 import numpy as np
 
-from ..chem.mol import AROMATIC, Mol
+from ..chem.mol import Mol
 from ..chem.sanitize import perceive_aromaticity
 
 

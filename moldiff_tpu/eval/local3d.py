@@ -9,7 +9,6 @@ measured on conformer coordinates.
 """
 from __future__ import annotations
 
-import math
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 

@@ -20,7 +20,6 @@ import numpy as np
 
 from ..chem.mol import AROMATIC, Mol, MolError
 from ..chem.sanitize import reconstruct_from_generated
-from ..chem.smiles import mol_to_smiles
 from .descriptors import all_descriptors, num_rings
 from .sa_score import sa_score
 

@@ -19,7 +19,6 @@ w.r.t. positions inside the scan body, replacing the reference's
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax

@@ -12,7 +12,6 @@ dynamics are comparable to the reference (/root/reference/models/common.py:181).
 from __future__ import annotations
 
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

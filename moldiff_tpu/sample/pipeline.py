@@ -12,7 +12,6 @@ like the reference's `failed` pool with the 3x abort cap.
 """
 from __future__ import annotations
 
-import functools
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax

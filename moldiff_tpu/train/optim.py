@@ -16,9 +16,7 @@ Schedulers (config `train.scheduler.type`, parity with the reference):
 from __future__ import annotations
 
 import math
-from typing import Optional
 
-import jax
 import jax.numpy as jnp
 import optax
 
