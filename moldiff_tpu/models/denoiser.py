@@ -228,6 +228,7 @@ def denoiser_static_config(
     dtype: str = "float32",
     remat: bool = True,
     use_pallas: bool = False,
+    fuse_block: bool = False,
     **_unused,
 ) -> dict:
     """Static (non-trainable) architecture config; defaults mirror the
@@ -246,6 +247,7 @@ def denoiser_static_config(
         "dtype": dtype,
         "remat": remat,
         "use_pallas": use_pallas,
+        "fuse_block": fuse_block,
     }
 
 
@@ -331,12 +333,28 @@ def node_edge_net(
     # (reference graph.py:351-357); otherwise computed once up front.
     h_dist0, rel0, dist0 = dist_feats(pos_node)
 
+    # whole-block fused Pallas kernel (TPU): edge_emb + NodeBlock +
+    # EdgeBlock + PosUpdate per molecule group, intermediates in VMEM
+    fuse_block = (
+        static.get("fuse_block", False)
+        and update_edge and update_pos and static["use_gate"]
+        and pair_sharding is None
+    )
+
     def block_fn(carry, blk):
         h_node, pos_node, h_edge = carry
         if update_pos:
             h_dist, rel_vec, distance = dist_feats(pos_node)
         else:
             h_dist, rel_vec, distance = h_dist0, rel0, dist0
+        if fuse_block:
+            from ..ops.pallas_kernels import fused_block_tpu
+
+            h_node, h_edge_i, pos_delta = fused_block_tpu(
+                blk, h_node, h_edge, h_dist, rel_vec, distance,
+                node_time, pair_mask,
+            )
+            return (h_node, pos_node + pos_delta, h_edge_i), None
         if update_edge:
             h_edge_in = jnp.concatenate([h_edge, h_dist], axis=-1)
         else:

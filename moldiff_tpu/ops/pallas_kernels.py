@@ -222,3 +222,391 @@ def node_block_aggregate(params, x, edge_attr, node_time, pair_mask,
     if use_pallas:
         return node_block_aggregate_tpu(params, x, edge_attr, node_time, pair_mask)
     return _xla_node_block_aggregate(params, x, edge_attr, node_time, pair_mask)
+
+
+# ===========================================================================
+# Fused full denoiser block: edge_emb + NodeBlock + EdgeBlock + PosUpdate
+# ===========================================================================
+#
+# One grid cell processes G molecules with every [N,N,*] intermediate in
+# VMEM. Matches models/denoiser.py's block_fn exactly (use_gate=True,
+# update_edge=True, update_pos=True); gradients flow through a custom_vjp
+# whose backward recomputes via the XLA composition.
+
+def _ln_p(x, scale, bias, eps=1e-5):
+    return _ln(x, scale, bias, eps)
+
+
+def _mlp2(x, w1, b1, s1, c1, w2, b2, dt):
+    """Linear -> LN -> ReLU -> Linear (the framework MLP, 2 layers)."""
+    h = jnp.dot(x, w1[:], preferred_element_type=jnp.float32) + b1[:]
+    h = jax.nn.relu(_ln_p(h, s1[:], c1[:])).astype(dt)
+    return jnp.dot(h, w2[:], preferred_element_type=jnp.float32) + b2[:]
+
+
+def _flatten_linear(p, dt, bias=True):
+    out = [p["w"].astype(dt)]
+    if bias:
+        out.append(_prep(p["b"]).astype(jnp.float32))
+    return out
+
+
+def _flatten_mlp(p, dt):
+    l0, l1 = p["layers"]
+    return [
+        l0["lin"]["w"].astype(dt), _prep(l0["lin"]["b"]).astype(jnp.float32),
+        _prep(l0["ln"]["scale"]).astype(jnp.float32),
+        _prep(l0["ln"]["bias"]).astype(jnp.float32),
+        l1["lin"]["w"].astype(dt), _prep(l1["lin"]["b"]).astype(jnp.float32),
+    ]
+
+
+def _flatten_bond_ffn(p, dt):
+    return (
+        [p["bond_linear"]["w"].astype(dt), p["node_linear"]["w"].astype(dt)]
+        + _flatten_mlp(p["inter"], dt)
+        + _flatten_mlp(p["gate"], dt)
+    )
+
+
+def _flatten_ln(p):
+    return [_prep(p["scale"]).astype(jnp.float32),
+            _prep(p["bias"]).astype(jnp.float32)]
+
+
+def flatten_block_weights(blk, dt):
+    """Canonical flat weight list for the fused block kernel."""
+    nb, eb, pb = blk["node_block"], blk["edge_block"], blk["pos_block"]
+    ws = []
+    ws += _flatten_linear(blk["edge_emb"], dt)                      # 2
+    ws += _flatten_mlp(nb["edge_net"], dt)                          # 6
+    ws += _flatten_mlp(nb["node_net"], dt)                          # 6
+    ws += _flatten_linear(nb["msg_net"], dt)                        # 2
+    ws += _flatten_mlp(nb["gate"], dt)                              # 6
+    ws += _flatten_linear(nb["centroid_lin"], dt)                   # 2
+    ws += _flatten_ln(nb["ln"])                                     # 2
+    ws += _flatten_linear(nb["out"], dt)                            # 2
+    ws += _flatten_bond_ffn(eb["bond_ffn_left"], dt)                # 14
+    ws += _flatten_bond_ffn(eb["bond_ffn_right"], dt)               # 14
+    ws += _flatten_linear(eb["node_ffn_left"], dt)                  # 2
+    ws += _flatten_linear(eb["node_ffn_right"], dt)                 # 2
+    ws += _flatten_linear(eb["self_ffn"], dt)                       # 2
+    ws += _flatten_ln(eb["ln"])                                     # 2
+    ws += _flatten_linear(eb["out"], dt)                            # 2
+    ws += _flatten_mlp(pb["left_lin_edge"], dt)                     # 6
+    ws += _flatten_mlp(pb["right_lin_edge"], dt)                    # 6
+    ws += _flatten_bond_ffn(pb["edge_lin"], dt)                     # 14
+    return ws
+
+
+def _expand_rows(vals, R, g_sz, n):
+    """vals [G, N, H] -> flat [G*N*N, H] with out[g, i, j] = vals[g, i].
+
+    Uses a constant one-hot selector matmul R [N*N, N] (R[p, i] = 1 iff
+    p // n == i) because Mosaic cannot lane-adjacent-broadcast (insert a
+    singleton axis between the two N dims)."""
+    outs = [jnp.dot(R[:], vals[gi], preferred_element_type=jnp.float32)
+            for gi in range(g_sz)]
+    return jnp.concatenate(outs, axis=0) if g_sz > 1 else outs[0]
+
+
+def _expand_cols(vals, S, g_sz, n):
+    """vals [G, N, H] -> flat [G*N*N, H] with out[g, i, j] = vals[g, j]."""
+    outs = [jnp.dot(S[:], vals[gi], preferred_element_type=jnp.float32)
+            for gi in range(g_sz)]
+    return jnp.concatenate(outs, axis=0) if g_sz > 1 else outs[0]
+
+
+def _expand_graph(vals, g_sz, n):
+    """vals [G, H] -> flat [G*N*N, H] (per-graph row broadcast)."""
+    outs = [jnp.broadcast_to(vals[gi:gi + 1], (n * n, vals.shape[-1]))
+            for gi in range(g_sz)]
+    return jnp.concatenate(outs, axis=0) if g_sz > 1 else outs[0]
+
+
+def _bond_ffn_flat(e_flat, node_rows, w, dt, g_sz, n, tvals, sel):
+    """BondFFN on flat pairs [G*N*N, .]; node features are per-node
+    [G*N, Dn] expanded through the selector matrix `sel` (R for
+    receiver-indexed, S for sender-indexed)."""
+    (wb, wn, i1w, i1b, i1s, i1c, i2w, i2b,
+     g1w, g1b, g1s, g1c, g2w, g2b) = w
+    de = e_flat.shape[-1]
+    dn = node_rows.shape[-1]
+    bond = jnp.dot(e_flat, wb[:], preferred_element_type=jnp.float32)
+    nodef = jnp.dot(node_rows, wn[:], preferred_element_type=jnp.float32)
+    nf_flat = _expand_rows(nodef.reshape(g_sz, n, -1), sel, g_sz, n)
+    inter = (bond * nf_flat).astype(dt)
+    inter = _mlp2(inter, i1w, i1b, i1s, i1c, i2w, i2b, dt)
+    ge = jnp.dot(e_flat, g1w[:de], preferred_element_type=jnp.float32)
+    gn = jnp.dot(node_rows, g1w[de:de + dn], preferred_element_type=jnp.float32)
+    gn_flat = _expand_rows(gn.reshape(g_sz, n, -1), sel, g_sz, n)
+    gt = jnp.dot(tvals, g1w[de + dn:de + dn + 1],
+                 preferred_element_type=jnp.float32)          # [G, H]
+    gsum = (ge + gn_flat + _expand_graph(gt, g_sz, n) + g1b[:])
+    gsum = jax.nn.relu(_ln_p(gsum, g1s[:], g1c[:])).astype(dt)
+    gate = jax.nn.sigmoid(
+        jnp.dot(gsum, g2w[:], preferred_element_type=jnp.float32) + g2b[:]
+    )
+    return (inter.astype(jnp.float32) * gate).astype(dt)
+
+
+def _bond_ffn_pairflat(e_flat, node_pair, w, dt, g_sz, n, tvals):
+    """BondFFN where the node features are already pairwise flat
+    [G*N*N, Dn] (PosUpdate)."""
+    (wb, wn, i1w, i1b, i1s, i1c, i2w, i2b,
+     g1w, g1b, g1s, g1c, g2w, g2b) = w
+    de = e_flat.shape[-1]
+    dn = node_pair.shape[-1]
+    bond = jnp.dot(e_flat, wb[:], preferred_element_type=jnp.float32)
+    nodef = jnp.dot(node_pair, wn[:], preferred_element_type=jnp.float32)
+    inter = (bond * nodef).astype(dt)
+    inter = _mlp2(inter, i1w, i1b, i1s, i1c, i2w, i2b, dt)
+    ge = jnp.dot(e_flat, g1w[:de], preferred_element_type=jnp.float32)
+    gn = jnp.dot(node_pair, g1w[de:de + dn], preferred_element_type=jnp.float32)
+    gt = jnp.dot(tvals, g1w[de + dn:de + dn + 1],
+                 preferred_element_type=jnp.float32)
+    gsum = (ge + gn + _expand_graph(gt, g_sz, n) + g1b[:])
+    gsum = jax.nn.relu(_ln_p(gsum, g1s[:], g1c[:])).astype(dt)
+    gate = jax.nn.sigmoid(
+        jnp.dot(gsum, g2w[:], preferred_element_type=jnp.float32) + g2b[:]
+    )
+    return (inter.astype(jnp.float32) * gate).astype(dt)
+
+
+def _fused_block_kernel(x_ref, e_ref, hd_ref, rel_ref, dist_ref, mask_ref,
+                        t_ref, R_ref, S_ref, *rest):
+    """Whole denoiser block for G molecules (see flatten_block_weights for
+    the weight order). Flat [G*N*N, .] layout throughout; R/S are constant
+    one-hot selectors expanding per-node features to receiver-/sender-
+    indexed pairs. Outputs: h_node_new, h_edge_new (flat), pos_delta."""
+    wrefs = list(rest[:-3])
+    out_node_ref, out_edge_ref, out_pos_ref = rest[-3:]
+
+    g_sz, n, dn = x_ref.shape
+    de = e_ref.shape[-1]
+    dt = x_ref[:].dtype
+    x = x_ref[:].reshape(g_sz * n, dn)
+    e_in = e_ref[:].reshape(g_sz * n * n, de)
+    hd = hd_ref[:].reshape(g_sz * n * n, -1)
+    mask_flat = mask_ref[:].reshape(g_sz * n * n, 1)     # f32
+    tvals = t_ref[:, 0, :].astype(jnp.float32)           # [G,1]
+
+    cur = [0]
+
+    def take(k):
+        w = wrefs[cur[0]:cur[0] + k]
+        cur[0] += k
+        return w
+
+    # -- edge_emb: Linear([h_edge || h_dist]) split ------------------------
+    (w_ee, b_ee) = take(2)
+    he = (jnp.dot(e_in, w_ee[:de], preferred_element_type=jnp.float32)
+          + jnp.dot(hd, w_ee[de:], preferred_element_type=jnp.float32)
+          + b_ee[:]).astype(dt)                          # [G*N*N, De]
+
+    # -- NodeBlock ----------------------------------------------------------
+    (we1, be1, se1, ce1, we2, be2) = take(6)
+    (wn1, bn1, sn1, cn1, wn2, bn2) = take(6)
+    (wm, bm) = take(2)
+    (wg1, bg1, sg1, cg1, wg2, bg2) = take(6)
+    (wc, bc) = take(2)
+    (sl, cl) = take(2)
+    (wo, bo) = take(2)
+
+    h_e = jnp.dot(he, we1[:], preferred_element_type=jnp.float32) + be1[:]
+    h_e = jax.nn.relu(_ln_p(h_e, se1[:], ce1[:])).astype(dt)
+    h_e = (jnp.dot(h_e, we2[:], preferred_element_type=jnp.float32)
+           + be2[:]).astype(dt)
+    xn = jnp.dot(x, wn1[:], preferred_element_type=jnp.float32) + bn1[:]
+    xn = jax.nn.relu(_ln_p(xn, sn1[:], cn1[:])).astype(dt)
+    xn = (jnp.dot(xn, wn2[:], preferred_element_type=jnp.float32)
+          + bn2[:]).astype(dt)
+    # message uses the SENDER's node features -> expand via S
+    xn_pairs = _expand_rows(xn.reshape(g_sz, n, -1), S_ref, g_sz, n).astype(dt)
+    msg = (jnp.dot((h_e.astype(jnp.float32) * xn_pairs).astype(dt), wm[:],
+                   preferred_element_type=jnp.float32) + bm[:]).astype(dt)
+    ge = jnp.dot(he, wg1[:de], preferred_element_type=jnp.float32)
+    gx = jnp.dot(x, wg1[de:de + dn], preferred_element_type=jnp.float32)
+    gx_pairs = _expand_rows(gx.reshape(g_sz, n, -1), S_ref, g_sz, n)
+    gt_t = jnp.dot(tvals, wg1[de + dn:de + dn + 1],
+                   preferred_element_type=jnp.float32)
+    gsum = ge + gx_pairs + _expand_graph(gt_t, g_sz, n) + bg1[:]
+    gsum = jax.nn.relu(_ln_p(gsum, sg1[:], cg1[:])).astype(dt)
+    gate = jax.nn.sigmoid(
+        jnp.dot(gsum, wg2[:], preferred_element_type=jnp.float32) + bg2[:]
+    ).astype(dt)
+    gated = (msg * gate).astype(jnp.float32) * mask_flat
+    # sum over senders j: rows are (g, i, j) -> reduce axis 2 of 4D view
+    aggr = jnp.sum(gated.reshape(g_sz, n, n, -1), axis=2
+                   ).reshape(g_sz * n, -1)
+    nb = jnp.dot(x, wc[:], preferred_element_type=jnp.float32) + bc[:] + aggr
+    nb = jax.nn.relu(_ln_p(nb, sl[:], cl[:])).astype(dt)
+    h_node_delta = (jnp.dot(nb, wo[:], preferred_element_type=jnp.float32)
+                    + bo[:]).astype(dt)                   # [G*N, Dn]
+
+    # -- EdgeBlock (uses OLD h_node) -----------------------------------------
+    w_bffn_l = take(14)
+    w_bffn_r = take(14)
+    (wnl, bnl) = take(2)
+    (wnr, bnr) = take(2)
+    (wsf, bsf) = take(2)
+    (sle, cle) = take(2)
+    (woe, boe) = take(2)
+
+    # left FFN: node features indexed by the LEFT/receiver i -> selector R
+    msg_l = _bond_ffn_flat(he, x, w_bffn_l, dt, g_sz, n, tvals, R_ref)
+    msg_l = msg_l.astype(jnp.float32) * mask_flat
+    t_per = jnp.sum(msg_l.reshape(g_sz, n, n, -1), axis=1)   # [G,N,De] by j
+    msg_l_out = _expand_rows(t_per.astype(dt), R_ref, g_sz, n)
+
+    # right FFN: node features indexed by the RIGHT/sender j -> selector S
+    msg_r = _bond_ffn_flat(he, x, w_bffn_r, dt, g_sz, n, tvals, S_ref)
+    msg_r = msg_r.astype(jnp.float32) * mask_flat
+    u_per = jnp.sum(msg_r.reshape(g_sz, n, n, -1), axis=2)   # [G,N,De] by i
+    msg_r_out = _expand_rows(u_per.astype(dt), S_ref, g_sz, n)
+
+    proj_l = jnp.dot(x, wnl[:], preferred_element_type=jnp.float32) + bnl[:]
+    proj_r = jnp.dot(x, wnr[:], preferred_element_type=jnp.float32) + bnr[:]
+    proj_l_flat = _expand_rows(proj_l.astype(dt).reshape(g_sz, n, -1),
+                               R_ref, g_sz, n)
+    proj_r_flat = _expand_rows(proj_r.astype(dt).reshape(g_sz, n, -1),
+                               S_ref, g_sz, n)
+    selfe = jnp.dot(he, wsf[:], preferred_element_type=jnp.float32) + bsf[:]
+
+    eb = msg_l_out + msg_r_out + proj_l_flat + proj_r_flat + selfe
+    eb = jax.nn.relu(_ln_p(eb, sle[:], cle[:])).astype(dt)
+    edge_out = (jnp.dot(eb, woe[:], preferred_element_type=jnp.float32)
+                + boe[:]).astype(dt)
+    h_edge_new = (he + edge_out)                          # [G*N*N, De]
+
+    h_node_new = (x + h_node_delta)                       # [G*N, Dn]
+
+    # -- PosUpdate (uses NEW node + NEW edge) ---------------------------------
+    w_left = take(6)
+    w_right = take(6)
+    w_elin = take(14)
+
+    lf = _mlp2(h_node_new, *w_left, dt).astype(dt)        # [G*N, De]
+    rf = _mlp2(h_node_new, *w_right, dt).astype(dt)
+    lf_flat = _expand_rows(lf.reshape(g_sz, n, -1), R_ref, g_sz, n)
+    rf_flat = _expand_rows(rf.reshape(g_sz, n, -1), S_ref, g_sz, n)
+    node_pair = (lf_flat * rf_flat).astype(dt)            # [G*N*N, De]
+    weight = _bond_ffn_pairflat(h_edge_new, node_pair, w_elin, dt, g_sz, n,
+                                tvals)                    # [G*N*N, 1]
+
+    rel = rel_ref[:].reshape(g_sz * n * n, 3)             # f32
+    d = dist_ref[:].reshape(g_sz * n * n, 1)              # f32
+    d_safe = jnp.where(mask_flat > 0, d, 1.0)
+    force = weight.astype(jnp.float32) * rel / d_safe / (d_safe + 1.0)
+    force = force * mask_flat
+    pos_delta = jnp.sum(force.reshape(g_sz, n, n, 3), axis=2)
+
+    out_node_ref[:] = h_node_new.reshape(g_sz, n, dn).astype(out_node_ref.dtype)
+    out_edge_ref[:] = h_edge_new.reshape(g_sz, n * n, de).astype(out_edge_ref.dtype)
+    out_pos_ref[:] = pos_delta.astype(out_pos_ref.dtype)
+
+
+def _xla_fused_block(blk, h_node, h_edge, h_dist, rel_vec, distance,
+                     node_time, pair_mask):
+    """XLA composition of one denoiser block (must match
+    models/denoiser.py block_fn with update_edge=update_pos=True); serves as
+    fallback, test reference, and custom_vjp backward."""
+    from ..models.denoiser import edge_block, node_block, pos_update
+    from ..models.nn import linear
+
+    h_edge_in = jnp.concatenate([h_edge, h_dist], axis=-1)
+    h_edge_i = linear(blk["edge_emb"], h_edge_in)
+    h_node_delta = node_block(blk["node_block"], h_node, h_edge_i,
+                              node_time, pair_mask)
+    h_edge_i = h_edge_i + edge_block(blk["edge_block"], h_edge_i, h_node,
+                                     node_time, pair_mask)
+    h_node_new = h_node + h_node_delta
+    pos_delta = pos_update(blk["pos_block"], h_node_new, h_edge_i, rel_vec,
+                           distance, node_time, pair_mask)
+    return h_node_new, h_edge_i, pos_delta
+
+
+def _pallas_fused_block(blk, h_node, h_edge, h_dist, rel_vec, distance,
+                        node_time, pair_mask, interpret=False, group=2):
+    b, n, dn = h_node.shape
+    de = h_edge.shape[-1]
+    dh = h_dist.shape[-1]
+    dt = h_node.dtype
+    while b % group:
+        group //= 2
+    g_sz = max(group, 1)
+
+    weights = flatten_block_weights(blk, dt)
+    # one-hot selectors: R[p, i] = (p // n == i), S[p, j] = (p % n == j)
+    p_idx = np.arange(n * n)
+    R = jnp.asarray((p_idx[:, None] // n == np.arange(n)[None, :]), dtype=dt)
+    S = jnp.asarray((p_idx[:, None] % n == np.arange(n)[None, :]), dtype=dt)
+    e_flat = h_edge.reshape(b, n * n, de)
+    hd_flat = h_dist.astype(dt).reshape(b, n * n, dh)
+    rel = rel_vec.astype(jnp.float32).reshape(b, n * n, 3)
+    dist = distance.astype(jnp.float32).reshape(b, n * n, 1)
+    tcol = jnp.broadcast_to(
+        node_time.reshape(-1, 1, 1).astype(jnp.float32), (b, 1, 1)
+    )
+    mask = pair_mask.astype(jnp.float32).reshape(b, n * n, 1)
+
+    grid = (b // g_sz,)
+    cell = lambda shape: pl.BlockSpec(
+        (g_sz,) + shape, lambda i: (i,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+    const = lambda w: pl.BlockSpec(
+        w.shape, lambda i: (0,) * w.ndim, memory_space=pltpu.VMEM
+    )
+    in_specs = [
+        cell((n, dn)), cell((n * n, de)), cell((n * n, dh)),
+        cell((n * n, 3)), cell((n * n, 1)), cell((n * n, 1)), cell((1, 1)),
+        const(R), const(S),
+    ] + [const(w) for w in weights]
+    out_specs = (
+        cell((n, dn)), cell((n * n, de)), cell((n, 3)),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((b, n, dn), dt),
+        jax.ShapeDtypeStruct((b, n * n, de), dt),
+        jax.ShapeDtypeStruct((b, n, 3), jnp.float32),
+    )
+    h_node_new, h_edge_new, pos_delta = pl.pallas_call(
+        _fused_block_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        # alias the node/edge carries with their outputs: the edge tensor is
+        # ~17 MB at B=128 and a fresh output allocation OOMs VMEM when XLA
+        # stages the custom-call result on-stack inside the scan
+        input_output_aliases={0: 0, 1: 1},
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(h_node, e_flat, hd_flat, rel, dist, mask, tcol, R, S, *weights)
+    return h_node_new, h_edge_new.reshape(b, n, n, de), pos_delta
+
+
+@jax.custom_vjp
+def fused_block_tpu(blk, h_node, h_edge, h_dist, rel_vec, distance,
+                    node_time, pair_mask):
+    return _pallas_fused_block(blk, h_node, h_edge, h_dist, rel_vec,
+                               distance, node_time, pair_mask)
+
+
+def _fb_fwd(blk, h_node, h_edge, h_dist, rel_vec, distance, node_time,
+            pair_mask):
+    out = fused_block_tpu(blk, h_node, h_edge, h_dist, rel_vec, distance,
+                          node_time, pair_mask)
+    return out, (blk, h_node, h_edge, h_dist, rel_vec, distance, node_time,
+                 pair_mask)
+
+
+def _fb_bwd(res, g):
+    _, vjp = jax.vjp(_xla_fused_block, *res)
+    return vjp(g)
+
+
+fused_block_tpu.defvjp(_fb_fwd, _fb_bwd)

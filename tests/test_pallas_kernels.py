@@ -57,3 +57,65 @@ def test_node_block_wiring(setup):
     out = node_block(params, x, e, t, mask, use_pallas=False)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestFusedBlock:
+    """Whole-block fused kernel (experimental, off by default: slower than
+    the NodeBlock-only kernel on current Mosaic because receiver/sender
+    broadcasts must be expressed as one-hot selector matmuls)."""
+
+    def _setup(self):
+        from moldiff_tpu.models.denoiser import init_node_edge_net
+
+        key = jax.random.key(0)
+        params, _ = init_node_edge_net(key, 32, 16, num_blocks=1, cutoff=10,
+                                       use_gate=True)
+        blk = jax.tree.map(lambda x: x[0], params["blocks"])
+        b, n = 4, 8
+        ks = jax.random.split(key, 6)
+        h_node = jax.random.normal(ks[0], (b, n, 32))
+        h_edge = jax.random.normal(ks[1], (b, n, n, 16))
+        h_dist = jax.random.uniform(ks[2], (b, n, n, 16))
+        pos = jax.random.normal(ks[3], (b, n, 3))
+        rel = pos[:, :, None, :] - pos[:, None, :, :]
+        dist = jnp.linalg.norm(rel + 1e-9, axis=-1)
+        t = jax.random.uniform(ks[4], (b, 1, 1))
+        mask = (jax.random.uniform(ks[5], (b, n, n)) > 0.2).astype(jnp.float32)
+        mask = mask * (1 - np.eye(n))[None]
+        return blk, (h_node, h_edge, h_dist, rel, dist, t, mask)
+
+    @pytest.mark.parametrize("group", [1, 2])
+    def test_matches_xla(self, group):
+        from moldiff_tpu.ops.pallas_kernels import (
+            _pallas_fused_block,
+            _xla_fused_block,
+        )
+
+        blk, args = self._setup()
+        ref = _xla_fused_block(blk, *args)
+        out = _pallas_fused_block(blk, *args, interpret=True, group=group)
+        for name, a, b in zip(("node", "edge", "pos"), ref, out):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-4, err_msg=name)
+
+    def test_vjp_matches_xla(self):
+        from moldiff_tpu.ops.pallas_kernels import _fb_bwd, _xla_fused_block
+
+        blk, args = self._setup()
+        out, vjp = jax.vjp(_xla_fused_block, blk, *args)
+        g = jax.tree.map(jnp.ones_like, out)
+        direct = vjp(g)
+        via = _fb_bwd((blk,) + args, g)
+        for a, b in zip(jax.tree.leaves(direct), jax.tree.leaves(via)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)
+
+    def test_denoiser_fuse_block_flag_cpu(self):
+        """fuse_block config wiring: on CPU the kernel path isn't taken at
+        trace time only on TPU... it IS taken (flag-driven); run through
+        interpret is not wired, so only check the flag exists in static."""
+        from moldiff_tpu.models.denoiser import denoiser_static_config
+
+        s = denoiser_static_config(num_blocks=1, cutoff=10, use_gate=True,
+                                   fuse_block=True)
+        assert s["fuse_block"] is True
