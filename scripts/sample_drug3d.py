@@ -117,7 +117,7 @@ def main(argv=None):
     # guided chains run denoiser + bond-predictor grad per step; chunk them
     # so one device execution stays under runtime deadlines
     chunk_steps = None
-    if guidance is not None:
+    if guidance is not None and model.categorical_space == "discrete":
         T = model.num_timesteps
         chunk_steps = next(c for c in (100, 50, 25, 20, 10, 5, 1) if T % c == 0)
     sampler = MolSampler(
