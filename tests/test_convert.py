@@ -159,3 +159,71 @@ class TestFullConversion:
         mask = jnp.ones((b, n))
         preds = model.forward(converted, h_node, pos, h_he, t, mask)
         assert np.isfinite(np.asarray(preds.pred_node)).all()
+
+
+class TestConvertCLI:
+    def test_convert_then_sample(self, tmp_path):
+        """Full migration path: reference-style .pt -> convert CLI -> our
+        checkpoint -> sample CLI loads and runs it."""
+        import os
+        import subprocess
+        import sys
+
+        ref = build_reference_moldiff_modules()
+        cfg = {
+            "model": {
+                "name": "diffusion", "node_dim": 16, "edge_dim": 8,
+                "denoiser": {"backbone": "NodeEdgeNet", "num_blocks": 2,
+                             "cutoff": 10, "use_gate": True},
+                "diff": {
+                    "num_timesteps": 6, "time_dim": 4,
+                    "categorical_space": "discrete",
+                    "diff_pos": {"beta_schedule": "advance",
+                                 "scale_start": 0.9999, "scale_end": 0.0001,
+                                 "width": 3},
+                    "diff_atom": {"init_prob": "tomask",
+                                  "beta_schedule": "advance",
+                                  "scale_start": 0.9999,
+                                  "scale_end": 0.0001, "width": 3},
+                    "diff_bond": {"init_prob": "absorb",
+                                  "beta_schedule": "advance",
+                                  "scale_start": 0.9999,
+                                  "scale_end": 0.0001, "width": 3},
+                },
+            },
+            "transform": {"use_mask_node": True, "use_mask_edge": True},
+            "chem": {"atomic_numbers": [6, 7, 8, 9, 15, 16, 17],
+                     "mol_bond_types": [1, 2, 3, 4]},
+        }
+        pt = str(tmp_path / "ref.pt")
+        torch.save({"config": cfg, "model": ref.state_dict(), "iteration": 7},
+                   pt)
+        out = str(tmp_path / "conv.ckpt")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts",
+                                          "convert_reference_ckpt.py"),
+             "--input", pt, "--output", out],
+            capture_output=True, text=True, cwd=repo,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+        assert os.path.exists(out)
+
+        # sample from the converted checkpoint through the real CLI
+        import yaml as _yaml
+
+        scfg = {"model": {"checkpoint": out},
+                "sample": {"seed": 0, "batch_size": 4, "num_mols": 1,
+                           "save_traj_prob": 0.0}}
+        sp = str(tmp_path / "s.yml")
+        with open(sp, "w") as f:
+            _yaml.safe_dump(scfg, f)
+        r2 = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts", "sample_drug3d.py"),
+             "--config", sp, "--outdir", str(tmp_path / "out"),
+             "--batch_size", "4"],
+            capture_output=True, text=True, cwd=repo,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r2.returncode == 0, r2.stderr[-800:]
