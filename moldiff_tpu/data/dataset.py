@@ -73,6 +73,26 @@ def parse_conf_list(mols: Sequence[Optional[Mol]], molid=None) -> Optional[dict]
     }
 
 
+def _parse_one(molid, sdf_dir) -> Optional[dict]:
+    sdf_path = os.path.join(sdf_dir, f"{molid}.sdf")
+    if not os.path.exists(sdf_path):
+        return None
+    try:
+        mols = list(read_sdf(sdf_path))
+        return parse_conf_list(mols, molid=molid)
+    except Exception:
+        return None
+
+
+def _parse_one_pickled(args) -> Optional[bytes]:
+    """Worker: parse one molecule and pickle it (bytes cross the process
+    boundary once, the writer appends them directly)."""
+    rec = _parse_one(*args)
+    if rec is None:
+        return None
+    return pickle.dumps(rec, protocol=pickle.HIGHEST_PROTOCOL)
+
+
 class Drug3DDataset:
     """Record-store-backed molecule dataset with auto-processing.
 
@@ -115,25 +135,35 @@ class Drug3DDataset:
                 if fn.endswith(".sdf"):
                     yield os.path.splitext(fn)[0]
 
-    def _process(self) -> None:
+    def _process(self, n_workers: Optional[int] = None) -> None:
+        """Parse + pack all molecules. Parsing is fanned out over a process
+        pool (the reference's analogue is DataLoader(num_workers=64)); the
+        append-only store write stays in this process."""
+        from multiprocessing import Pool, cpu_count
+
         os.makedirs(os.path.dirname(self.store_path), exist_ok=True)
+        molids = list(self._iter_summary())
+        n_workers = n_workers or min(max(cpu_count() - 1, 1), 32)
         n_ok = n_bad = 0
         with RecordWriter(self.store_path) as w:
-            for molid in self._iter_summary():
-                sdf_path = os.path.join(self.sdf_dir, f"{molid}.sdf")
-                if not os.path.exists(sdf_path):
-                    n_bad += 1
-                    continue
-                try:
-                    mols = list(read_sdf(sdf_path))
-                    rec = parse_conf_list(mols, molid=molid)
-                except Exception:
-                    rec = None
-                if rec is None:
-                    n_bad += 1
-                    continue
-                w.append(rec)
-                n_ok += 1
+            if n_workers > 1 and len(molids) > 64:
+                args = [(m, self.sdf_dir) for m in molids]
+                with Pool(n_workers) as pool:
+                    for blob in pool.imap(_parse_one_pickled, args,
+                                          chunksize=32):
+                        if blob is None:
+                            n_bad += 1
+                        else:
+                            w.append_bytes(blob)
+                            n_ok += 1
+            else:
+                for molid in molids:
+                    rec = _parse_one(molid, self.sdf_dir)
+                    if rec is None:
+                        n_bad += 1
+                    else:
+                        w.append(rec)
+                        n_ok += 1
         if n_bad:
             print(f"[dataset] processed {n_ok} molecules, skipped {n_bad}")
 
