@@ -271,6 +271,7 @@ def sanitize(mol: Mol) -> Mol:
     if systems:
         cand = [i for s in systems for i in s if mol.atoms[i].z in (7, 8, 16)]
         ok = False
+        combo = ()
         for r in range(0, min(len(cand), 6) + 1):
             for combo in itertools.combinations(cand[:12], r):
                 try:
@@ -284,6 +285,12 @@ def sanitize(mol: Mol) -> Mol:
                 break
         if not ok:
             raise MolError("unkekulizable aromatic system")
+        # record the pyrrole-type hydrogen: an uncharged aromatic N donating
+        # its lone pair carries one H ([nH], e.g. pyrrole/indole/imidazole)
+        for i in combo:
+            a = mol.atoms[i]
+            if a.z == 7 and a.charge == 0 and a.num_explicit_h is None:
+                a.num_explicit_h = 1
     perceive_aromaticity(mol)
     return mol
 

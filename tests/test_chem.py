@@ -244,3 +244,97 @@ class TestReconstruct:
         bond_type = np.array([1, 1])
         mol = reconstruct_from_generated(element, np.zeros((2, 3)), bond_index, bond_type)
         assert mol.num_bonds == 1
+
+
+class TestValenceEdgeCases:
+    def test_sulfone_hexavalent(self):
+        # S(=O)(=O)(C)(C): valence 6 — legal for S
+        m = Mol()
+        s = m.add_atom(16)
+        for _ in range(2):
+            o = m.add_atom(8)
+            m.add_bond(s, o, 2)
+        for _ in range(2):
+            c = m.add_atom(6)
+            m.add_bond(s, c, 1)
+        sanitize(m)  # no raise
+
+    def test_phosphate_pentavalent(self):
+        m = Mol()
+        p = m.add_atom(15)
+        o_dbl = m.add_atom(8)
+        m.add_bond(p, o_dbl, 2)
+        for _ in range(3):
+            o = m.add_atom(8)
+            m.add_bond(p, o, 1)
+        sanitize(m)  # P(=O)(O)(O)O — valence 5
+
+    def test_heptavalent_sulfur_fails(self):
+        m = Mol()
+        s = m.add_atom(16)
+        for _ in range(3):
+            o = m.add_atom(8)
+            m.add_bond(s, o, 2)
+        c = m.add_atom(6)
+        m.add_bond(s, c, 1)  # valence 7
+        with pytest.raises(MolError):
+            sanitize(m)
+
+    def test_carbanion_fix(self):
+        m = Mol()
+        o = m.add_atom(8)
+        c1, c2 = m.add_atom(6), m.add_atom(6)
+        m.add_bond(o, c1, 1)
+        m.add_bond(o, c2, 1)
+        o3 = m.add_atom(6)
+        m.add_bond(o, o3, 1)  # O with 3 single bonds -> needs +1
+        fixed, ok = fix_valence(m)
+        assert ok and fixed.atoms[o].charge == 1
+
+    def test_imidazole(self):
+        """5-ring with two N: one pyridine-type, one pyrrole-type."""
+        m = Mol()
+        n1 = m.add_atom(7)
+        c2 = m.add_atom(6)
+        n3 = m.add_atom(7)
+        c4 = m.add_atom(6)
+        c5 = m.add_atom(6)
+        ring = [n1, c2, n3, c4, c5]
+        for i in range(5):
+            m.add_bond(ring[i], ring[(i + 1) % 5], AROMATIC)
+        sanitize(m)  # finds the pyrrole-like assignment
+
+    def test_fused_aromatic_with_substituent(self):
+        """Indole-like: fused 6+5 aromatic with N."""
+        m = Mol()
+        atoms = [m.add_atom(6) for _ in range(8)] + [m.add_atom(7)]
+        six = atoms[:6]
+        for i in range(6):
+            m.add_bond(six[i], six[(i + 1) % 6], AROMATIC)
+        # five-ring fused on atoms 4,5: 5-6-7(N)-8... indices: c6=atoms[6],
+        # c7=atoms[7], n=atoms[8]
+        m.add_bond(atoms[5], atoms[6], AROMATIC)
+        m.add_bond(atoms[6], atoms[7], AROMATIC)
+        m.add_bond(atoms[7], atoms[8], AROMATIC)
+        m.add_bond(atoms[8], atoms[4], AROMATIC)
+        sanitize(m)
+
+
+class TestPyrroleH:
+    def test_pyrrole_nh_in_smiles(self):
+        m = pyrrole()
+        sanitize(m)
+        s = mol_to_smiles(m)
+        assert "[nH]" in s, s
+
+    def test_pyridine_no_nh(self):
+        m = pyridine()
+        sanitize(m)
+        assert "[nH]" not in mol_to_smiles(m)
+
+    def test_pyrrole_hbd(self):
+        from moldiff_tpu.eval.descriptors import num_hbd
+
+        m = pyrrole()
+        sanitize(m)
+        assert num_hbd(m) == 1
