@@ -140,3 +140,57 @@ class TestSDF:
             f.write("junk\njunk\n\n  1  0  0\n$$$$\n")
         out = list(read_sdf(p))
         assert out == [None]
+
+
+class TestAromaticDecode:
+    def test_perfect_benzene_prediction(self):
+        """Handcrafted logits for benzene (aromatic bond class 4) survive
+        decode + reconstruct and canonicalize to c1ccccc1."""
+        feat = MolFeaturizer()
+        n = 6
+        pred_node = np.full((n, feat.num_node_types), -10.0)
+        pred_node[:, feat.ele_to_nodetype[6]] = 10.0
+        theta = np.arange(6) * np.pi / 3
+        pred_pos = np.stack([1.39 * np.cos(theta), 1.39 * np.sin(theta),
+                             np.zeros(6)], axis=1)
+        from moldiff_tpu.ops.graph_ops import triu_indices
+
+        iu, ju = triu_indices(n)
+        e = len(iu)
+        pred_he = np.full((e, feat.num_edge_types), -10.0)
+        ring = {(i, (i + 1) % 6) for i in range(6)}
+        ring |= {(j, i) for i, j in ring}
+        for k in range(e):
+            if (int(iu[k]), int(ju[k])) in ring:
+                pred_he[k, 4] = 10.0  # aromatic class
+            else:
+                pred_he[k, 0] = 10.0
+        decoded = feat.decode_output(pred_node, pred_pos, pred_he)
+        entry = classify_decoded(decoded)
+        assert entry["pool"] == "finished"
+        assert entry["smiles"] == "c1ccccc1"
+
+    def test_mask_atoms_stripped(self):
+        """Mask-class atoms are dropped with bond reindexing intact."""
+        feat = MolFeaturizer()
+        n = 4
+        pred_node = np.full((n, feat.num_node_types), -10.0)
+        pred_node[0, feat.ele_to_nodetype[6]] = 10.0
+        pred_node[1, feat.num_node_types - 1] = 10.0  # mask atom
+        pred_node[2, feat.ele_to_nodetype[6]] = 10.0
+        pred_node[3, feat.ele_to_nodetype[8]] = 10.0
+        pred_pos = np.array([[0, 0, 0], [5, 5, 5], [1.5, 0, 0],
+                             [2.2, 1.2, 0]], float)
+        from moldiff_tpu.ops.graph_ops import triu_indices
+
+        iu, ju = triu_indices(n)
+        e = len(iu)
+        pred_he = np.full((e, feat.num_edge_types), -10.0)
+        want = {(0, 2): 1, (2, 3): 1}
+        for k in range(e):
+            pred_he[k, want.get((int(iu[k]), int(ju[k])), 0)] = 10.0
+        decoded = feat.decode_output(pred_node, pred_pos, pred_he)
+        assert len(decoded["element"]) == 3
+        entry = classify_decoded(decoded)
+        assert entry["pool"] == "finished"
+        assert entry["smiles"] == "CCO"
