@@ -63,7 +63,10 @@ def compare(ref: dict, gen: dict) -> dict:
             if col in rdf and col in gdf:
                 row[f"jsd_{col}"] = hist_jsd(gdf[col].values, rdf[col].values,
                                              discrete=True)
-        # bond-type distribution JSD (cell 31)
+        # element / bond-type distribution JSDs (cell 31)
+        row["jsd_elem"] = counter_jsd(
+            _col_counts(gdf, "elem_"), _col_counts(rdf, "elem_")
+        )
         row["jsd_bond_type"] = counter_jsd(
             _col_counts(gdf, "bond_"), _col_counts(rdf, "bond_")
         )
