@@ -88,11 +88,21 @@ def main(argv=None):
     ckpt_freq = config.train.get("ckpt_freq", val_freq)
     val_batches = config.train.get("val_batches", 16)
 
+    n_errors = 0
     t0 = time.time()
     for it in range(int(state.step) + 1, max_iters + 1):
         batch = next(train_loader)
         key, k = jax.random.split(key)
-        state, aux = trainer.train_step(state, batch, k)
+        try:
+            state, aux = trainer.train_step(state, batch, k)
+        except Exception as e:  # skip-and-continue (reference
+            # scripts/train_bond.py:171-175)
+            n_errors += 1
+            logger.warning(f"[it {it}] step error ({type(e).__name__}: {e}); "
+                           f"skipping ({n_errors} total)")
+            if n_errors > 50:
+                raise
+            continue
 
         if it % 100 == 0 or it == 1:
             dt = time.time() - t0

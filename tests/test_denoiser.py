@@ -126,3 +126,41 @@ def test_update_flags():
     pm = graph_ops.pair_mask_from_node_mask(mask)
     _, p, _ = node_edge_net(params, static, h_node, pos, h_edge, t, t, pm)
     np.testing.assert_array_equal(np.asarray(p), np.asarray(pos))
+
+
+def test_large_bucket_n64():
+    """Max-bucket shapes (N=64, E=2016) trace and run."""
+    import jax
+    import jax.numpy as jnp
+
+    from moldiff_tpu.models.moldiff import MolDiff
+    from moldiff_tpu.ops import graph_ops
+    from moldiff_tpu.utils.config import Config
+
+    model = MolDiff(Config({
+        "node_dim": 8, "edge_dim": 8,
+        "denoiser": {"num_blocks": 1, "cutoff": 10, "use_gate": True},
+        "diff": {
+            "num_timesteps": 4, "time_dim": 2,
+            "categorical_space": "discrete",
+            "diff_pos": {"beta_schedule": "advance", "scale_start": 0.9999,
+                         "scale_end": 0.0001, "width": 3},
+            "diff_atom": {"init_prob": "tomask", "beta_schedule": "advance",
+                          "scale_start": 0.9999, "scale_end": 0.0001,
+                          "width": 3},
+            "diff_bond": {"init_prob": "absorb", "beta_schedule": "advance",
+                          "scale_start": 0.9999, "scale_end": 0.0001,
+                          "width": 3},
+        },
+    }), 8, 6)
+    params = model.init_params(jax.random.key(0))
+    b, n = 2, 64
+    e = graph_ops.num_halfedges(n)
+    assert e == 2016
+    h_node = jax.nn.one_hot(jnp.zeros((b, n), jnp.int32), 8)
+    pos = jnp.zeros((b, n, 3))
+    h_he = jax.nn.one_hot(jnp.zeros((b, e), jnp.int32), 6)
+    t = jnp.full((b,), 2, jnp.int32)
+    mask = jnp.ones((b, n))
+    preds = model.forward(params, h_node, pos, h_he, t, mask)
+    assert preds.pred_halfedge.shape == (b, e, 6)
