@@ -118,6 +118,29 @@ def unpad_arrays(batch_arrays, n_nodes: np.ndarray):
     return out
 
 
+def split_trajectories(traj, n_nodes: np.ndarray):
+    """Per-molecule unpadded trajectories.
+
+    traj: (node [T+1,B,N,Kn], pos [T+1,B,N,3], halfedge [T+1,B,E,Ke]) from
+    ``MolDiff.sample(save_traj=True)``. Returns a list of per-mol dicts with
+    'node'/'pos'/'halfedge' arrays (the trajectory analogue of the
+    reference's seperate_outputs, /root/reference/utils/sample.py:4-30).
+    """
+    node_t, pos_t, he_t = (np.asarray(t) for t in traj)
+    n_max = node_t.shape[2]
+    out = []
+    for i, n in enumerate(np.asarray(n_nodes)):
+        n = int(n)
+        iu_s, ju_s = np.triu_indices(n, k=1)
+        flat = iu_s * n_max - (iu_s * (iu_s + 1)) // 2 + (ju_s - iu_s - 1)
+        out.append({
+            "node": node_t[:, i, :n],
+            "pos": pos_t[:, i, :n],
+            "halfedge": he_t[:, i, flat],
+        })
+    return out
+
+
 def sample_size_placeholder(
     n_graphs: int,
     rng: np.random.Generator,

@@ -150,13 +150,11 @@ def main(argv=None):
         sizes = sampler.draw_sizes(n_traj, rng)
         key, k = jax.random.split(key)
         decoded_t, traj, counts = sampler.sample_with_traj(params, sizes, k)
+        from moldiff_tpu.data.batching import split_trajectories
+
+        per_mol = split_trajectories(traj, counts)
         with open(os.path.join(out_dir, "trajectories.pkl"), "wb") as f:
-            pickle.dump(
-                {"decoded": decoded_t, "traj_node": traj[0],
-                 "traj_pos": traj[1], "traj_halfedge": traj[2],
-                 "n_nodes": counts},
-                f,
-            )
+            pickle.dump({"decoded": decoded_t, "trajectories": per_mol}, f)
         logger.info(f"saved {n_traj} trajectories")
 
     with open(os.path.join(out_dir, "SMILES.txt"), "w") as f:

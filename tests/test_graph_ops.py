@@ -79,3 +79,21 @@ def test_pad_unpad_roundtrip(rng):
         np.testing.assert_array_equal(out["pred_node"][:, 0], mol["node_type"])
         np.testing.assert_array_equal(out["pred_pos"], mol["pos"])
         np.testing.assert_array_equal(out["pred_halfedge"][:, 0], mol["halfedge_type"])
+
+
+def test_split_trajectories(rng):
+    from moldiff_tpu.data.batching import split_trajectories
+    import numpy as np
+
+    T, b, n_max = 3, 2, 6
+    e_max = n_max * (n_max - 1) // 2
+    node = rng.normal(size=(T, b, n_max, 4))
+    pos = rng.normal(size=(T, b, n_max, 3))
+    he = rng.normal(size=(T, b, e_max, 5))
+    counts = np.array([4, 6])
+    per = split_trajectories((node, pos, he), counts)
+    assert per[0]["node"].shape == (T, 4, 4)
+    assert per[0]["halfedge"].shape == (T, 6, 5)   # E(4) = 6
+    assert per[1]["halfedge"].shape == (T, 15, 5)  # E(6) = 15
+    # mol 1 occupies the full bucket -> its halfedges are the identity slice
+    np.testing.assert_array_equal(per[1]["halfedge"], he[:, 1])
