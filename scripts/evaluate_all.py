@@ -97,6 +97,9 @@ def main(argv=None):
     ap.add_argument("--parallel", action="store_true")
     ap.add_argument("--global3d", action="store_true",
                     help="also compute the (slow) re-embedding RMSD family")
+    ap.add_argument("--force", action="store_true",
+                    help="recompute even if mols.csv already exists "
+                         "(the reference caches dataset-split metrics)")
     args = ap.parse_args(argv)
 
     if args.from_where == "generated":
@@ -112,6 +115,10 @@ def main(argv=None):
         decoded = []
     os.makedirs(out_dir, exist_ok=True)
     logger = get_logger("evaluate", out_dir)
+    if (not args.force and args.from_where == "dataset"
+            and os.path.exists(os.path.join(out_dir, "mols.csv"))):
+        logger.info(f"cached metrics exist at {out_dir} (use --force to redo)")
+        return out_dir
     logger.info(f"evaluating {len(mols)} molecules -> {out_dir}")
 
     # per-mol dataframe metrics
