@@ -94,7 +94,6 @@ def main():
     cfg = _model_config()
     cfg["denoiser"]["dtype"] = "bfloat16"  # mixed-precision denoiser
     cfg["denoiser"]["remat"] = False       # no autodiff in sampling
-    cfg["denoiser"]["use_pallas"] = True   # fused NodeBlock kernel
     model = MolDiff(cfg, num_node_types=8, num_edge_types=6)
     params = model.init_params(jax.random.key(0))
 

@@ -299,21 +299,27 @@ def flatten_block_weights(blk, dt):
     return ws
 
 
-def _expand_rows(vals, R, g_sz, n):
+def _expand_rows(vals, g_sz, n):
     """vals [G, N, H] -> flat [G*N*N, H] with out[g, i, j] = vals[g, i].
 
-    Uses a constant one-hot selector matmul R [N*N, N] (R[p, i] = 1 iff
-    p // n == i) because Mosaic cannot lane-adjacent-broadcast (insert a
-    singleton axis between the two N dims)."""
-    outs = [jnp.dot(R[:], vals[gi], preferred_element_type=jnp.float32)
-            for gi in range(g_sz)]
+    Mosaic can't insert a singleton between the two N dims, but it CAN
+    broadcast on the leading axis and transpose [N, N, H] -> so the
+    receiver-indexed expansion is broadcast-then-swapaxes."""
+    outs = []
+    for gi in range(g_sz):
+        a = jnp.broadcast_to(vals[gi][None, :, :],
+                             (n, n, vals.shape[-1]))        # a[j, i] = v[i]
+        outs.append(jnp.swapaxes(a, 0, 1).reshape(n * n, -1))
     return jnp.concatenate(outs, axis=0) if g_sz > 1 else outs[0]
 
 
-def _expand_cols(vals, S, g_sz, n):
+def _expand_cols(vals, g_sz, n):
     """vals [G, N, H] -> flat [G*N*N, H] with out[g, i, j] = vals[g, j]."""
-    outs = [jnp.dot(S[:], vals[gi], preferred_element_type=jnp.float32)
-            for gi in range(g_sz)]
+    outs = [
+        jnp.broadcast_to(vals[gi][None, :, :],
+                         (n, n, vals.shape[-1])).reshape(n * n, -1)
+        for gi in range(g_sz)
+    ]
     return jnp.concatenate(outs, axis=0) if g_sz > 1 else outs[0]
 
 
@@ -324,22 +330,22 @@ def _expand_graph(vals, g_sz, n):
     return jnp.concatenate(outs, axis=0) if g_sz > 1 else outs[0]
 
 
-def _bond_ffn_flat(e_flat, node_rows, w, dt, g_sz, n, tvals, sel):
+def _bond_ffn_flat(e_flat, node_rows, w, dt, g_sz, n, tvals, receiver):
     """BondFFN on flat pairs [G*N*N, .]; node features are per-node
-    [G*N, Dn] expanded through the selector matrix `sel` (R for
-    receiver-indexed, S for sender-indexed)."""
+    [G*N, Dn] expanded receiver-indexed (True) or sender-indexed."""
     (wb, wn, i1w, i1b, i1s, i1c, i2w, i2b,
      g1w, g1b, g1s, g1c, g2w, g2b) = w
     de = e_flat.shape[-1]
     dn = node_rows.shape[-1]
     bond = jnp.dot(e_flat, wb[:], preferred_element_type=jnp.float32)
     nodef = jnp.dot(node_rows, wn[:], preferred_element_type=jnp.float32)
-    nf_flat = _expand_rows(nodef.reshape(g_sz, n, -1), sel, g_sz, n)
+    expand = _expand_rows if receiver else _expand_cols
+    nf_flat = expand(nodef.reshape(g_sz, n, -1), g_sz, n)
     inter = (bond * nf_flat).astype(dt)
     inter = _mlp2(inter, i1w, i1b, i1s, i1c, i2w, i2b, dt)
     ge = jnp.dot(e_flat, g1w[:de], preferred_element_type=jnp.float32)
     gn = jnp.dot(node_rows, g1w[de:de + dn], preferred_element_type=jnp.float32)
-    gn_flat = _expand_rows(gn.reshape(g_sz, n, -1), sel, g_sz, n)
+    gn_flat = expand(gn.reshape(g_sz, n, -1), g_sz, n)
     gt = jnp.dot(tvals, g1w[de + dn:de + dn + 1],
                  preferred_element_type=jnp.float32)          # [G, H]
     gsum = (ge + gn_flat + _expand_graph(gt, g_sz, n) + g1b[:])
@@ -374,11 +380,11 @@ def _bond_ffn_pairflat(e_flat, node_pair, w, dt, g_sz, n, tvals):
 
 
 def _fused_block_kernel(x_ref, e_ref, hd_ref, rel_ref, dist_ref, mask_ref,
-                        t_ref, R_ref, S_ref, *rest):
+                        t_ref, *rest):
     """Whole denoiser block for G molecules (see flatten_block_weights for
-    the weight order). Flat [G*N*N, .] layout throughout; R/S are constant
-    one-hot selectors expanding per-node features to receiver-/sender-
-    indexed pairs. Outputs: h_node_new, h_edge_new (flat), pos_delta."""
+    the weight order). Flat [G*N*N, .] layout throughout;
+    per-node features expand to pairs via leading-axis broadcast (+
+    transpose for receiver-indexed). Outputs: h_node_new, h_edge_new (flat), pos_delta."""
     wrefs = list(rest[:-3])
     out_node_ref, out_edge_ref, out_pos_ref = rest[-3:]
 
@@ -422,12 +428,12 @@ def _fused_block_kernel(x_ref, e_ref, hd_ref, rel_ref, dist_ref, mask_ref,
     xn = (jnp.dot(xn, wn2[:], preferred_element_type=jnp.float32)
           + bn2[:]).astype(dt)
     # message uses the SENDER's node features -> expand via S
-    xn_pairs = _expand_rows(xn.reshape(g_sz, n, -1), S_ref, g_sz, n).astype(dt)
+    xn_pairs = _expand_cols(xn.reshape(g_sz, n, -1), g_sz, n).astype(dt)
     msg = (jnp.dot((h_e.astype(jnp.float32) * xn_pairs).astype(dt), wm[:],
                    preferred_element_type=jnp.float32) + bm[:]).astype(dt)
     ge = jnp.dot(he, wg1[:de], preferred_element_type=jnp.float32)
     gx = jnp.dot(x, wg1[de:de + dn], preferred_element_type=jnp.float32)
-    gx_pairs = _expand_rows(gx.reshape(g_sz, n, -1), S_ref, g_sz, n)
+    gx_pairs = _expand_cols(gx.reshape(g_sz, n, -1), g_sz, n)
     gt_t = jnp.dot(tvals, wg1[de + dn:de + dn + 1],
                    preferred_element_type=jnp.float32)
     gsum = ge + gx_pairs + _expand_graph(gt_t, g_sz, n) + bg1[:]
@@ -454,23 +460,21 @@ def _fused_block_kernel(x_ref, e_ref, hd_ref, rel_ref, dist_ref, mask_ref,
     (woe, boe) = take(2)
 
     # left FFN: node features indexed by the LEFT/receiver i -> selector R
-    msg_l = _bond_ffn_flat(he, x, w_bffn_l, dt, g_sz, n, tvals, R_ref)
+    msg_l = _bond_ffn_flat(he, x, w_bffn_l, dt, g_sz, n, tvals, receiver=True)
     msg_l = msg_l.astype(jnp.float32) * mask_flat
     t_per = jnp.sum(msg_l.reshape(g_sz, n, n, -1), axis=1)   # [G,N,De] by j
-    msg_l_out = _expand_rows(t_per.astype(dt), R_ref, g_sz, n)
+    msg_l_out = _expand_rows(t_per.astype(dt), g_sz, n)
 
     # right FFN: node features indexed by the RIGHT/sender j -> selector S
-    msg_r = _bond_ffn_flat(he, x, w_bffn_r, dt, g_sz, n, tvals, S_ref)
+    msg_r = _bond_ffn_flat(he, x, w_bffn_r, dt, g_sz, n, tvals, receiver=False)
     msg_r = msg_r.astype(jnp.float32) * mask_flat
     u_per = jnp.sum(msg_r.reshape(g_sz, n, n, -1), axis=2)   # [G,N,De] by i
-    msg_r_out = _expand_rows(u_per.astype(dt), S_ref, g_sz, n)
+    msg_r_out = _expand_cols(u_per.astype(dt), g_sz, n)
 
     proj_l = jnp.dot(x, wnl[:], preferred_element_type=jnp.float32) + bnl[:]
     proj_r = jnp.dot(x, wnr[:], preferred_element_type=jnp.float32) + bnr[:]
-    proj_l_flat = _expand_rows(proj_l.astype(dt).reshape(g_sz, n, -1),
-                               R_ref, g_sz, n)
-    proj_r_flat = _expand_rows(proj_r.astype(dt).reshape(g_sz, n, -1),
-                               S_ref, g_sz, n)
+    proj_l_flat = _expand_rows(proj_l.astype(dt).reshape(g_sz, n, -1), g_sz, n)
+    proj_r_flat = _expand_cols(proj_r.astype(dt).reshape(g_sz, n, -1), g_sz, n)
     selfe = jnp.dot(he, wsf[:], preferred_element_type=jnp.float32) + bsf[:]
 
     eb = msg_l_out + msg_r_out + proj_l_flat + proj_r_flat + selfe
@@ -488,8 +492,8 @@ def _fused_block_kernel(x_ref, e_ref, hd_ref, rel_ref, dist_ref, mask_ref,
 
     lf = _mlp2(h_node_new, *w_left, dt).astype(dt)        # [G*N, De]
     rf = _mlp2(h_node_new, *w_right, dt).astype(dt)
-    lf_flat = _expand_rows(lf.reshape(g_sz, n, -1), R_ref, g_sz, n)
-    rf_flat = _expand_rows(rf.reshape(g_sz, n, -1), S_ref, g_sz, n)
+    lf_flat = _expand_rows(lf.reshape(g_sz, n, -1), g_sz, n)
+    rf_flat = _expand_cols(rf.reshape(g_sz, n, -1), g_sz, n)
     node_pair = (lf_flat * rf_flat).astype(dt)            # [G*N*N, De]
     weight = _bond_ffn_pairflat(h_edge_new, node_pair, w_elin, dt, g_sz, n,
                                 tvals)                    # [G*N*N, 1]
@@ -537,10 +541,6 @@ def _pallas_fused_block(blk, h_node, h_edge, h_dist, rel_vec, distance,
     g_sz = max(group, 1)
 
     weights = flatten_block_weights(blk, dt)
-    # one-hot selectors: R[p, i] = (p // n == i), S[p, j] = (p % n == j)
-    p_idx = np.arange(n * n)
-    R = jnp.asarray((p_idx[:, None] // n == np.arange(n)[None, :]), dtype=dt)
-    S = jnp.asarray((p_idx[:, None] % n == np.arange(n)[None, :]), dtype=dt)
     e_flat = h_edge.reshape(b, n * n, de)
     hd_flat = h_dist.astype(dt).reshape(b, n * n, dh)
     rel = rel_vec.astype(jnp.float32).reshape(b, n * n, 3)
@@ -561,7 +561,6 @@ def _pallas_fused_block(blk, h_node, h_edge, h_dist, rel_vec, distance,
     in_specs = [
         cell((n, dn)), cell((n * n, de)), cell((n * n, dh)),
         cell((n * n, 3)), cell((n * n, 1)), cell((n * n, 1)), cell((1, 1)),
-        const(R), const(S),
     ] + [const(w) for w in weights]
     out_specs = (
         cell((n, dn)), cell((n * n, de)), cell((n, 3)),
@@ -585,7 +584,7 @@ def _pallas_fused_block(blk, h_node, h_edge, h_dist, rel_vec, distance,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(h_node, e_flat, hd_flat, rel, dist, mask, tcol, R, S, *weights)
+    )(h_node, e_flat, hd_flat, rel, dist, mask, tcol, *weights)
     return h_node_new, h_edge_new.reshape(b, n, n, de), pos_delta
 
 
