@@ -21,7 +21,7 @@ from ..ops.gaussian import GaussianTransition
 from ..ops.schedules import get_beta_schedule
 from .denoiser import denoiser_static_config, init_node_edge_net, node_edge_net
 from .moldiff import masked_mean, sample_time_antithetic
-from .nn import GaussianSmearing, init_linear, init_mlp, linear, mlp
+from .nn import GaussianSmearing, init_linear, init_mlp, linear, linear_parts, mlp
 
 
 class BondPredictor:
@@ -103,15 +103,15 @@ class BondPredictor:
         b, n = h_node.shape[:2]
         pair_mask = graph_ops.pair_mask_from_node_mask(node_mask)
 
-        # [B,N,N,2*Kn]: (left node types, right node types)
+        # edge features = embed(concat[left node types ‖ right node types]);
+        # decomposed as two O(N) matmuls + broadcast add instead of an O(N^2)
+        # matmul over the materialized [B,N,N,2*Kn] concat (same math).
         kn = h_node.shape[-1]
-        h_edge_raw = jnp.concatenate(
-            [
-                jnp.broadcast_to(h_node[:, :, None, :], (b, n, n, kn)),
-                jnp.broadcast_to(h_node[:, None, :, :], (b, n, n, kn)),
-            ],
-            axis=-1,
-        )
+
+        def embed_edge_raw(p):
+            return linear_parts(
+                p, (h_node[:, :, None, :], h_node[:, None, :, :]), (kn, kn)
+            )
 
         if self.num_timesteps > 0:
             time_feat = self.time_emb(t.astype(jnp.float32))  # [B, time_dim]
@@ -124,7 +124,7 @@ class BondPredictor:
             )
             h_edge_emb = jnp.concatenate(
                 [
-                    linear(params["edge_embedder"], h_edge_raw),
+                    embed_edge_raw(params["edge_embedder"]),
                     jnp.broadcast_to(
                         time_feat[:, None, None, :], (b, n, n, self.time_dim)
                     ),
@@ -134,7 +134,7 @@ class BondPredictor:
             t_norm = (t.astype(jnp.float32) / max(self.num_timesteps, 1))[:, None, None]
         else:
             h_node_emb = linear(params["node_embedder"], h_node)
-            h_edge_emb = linear(params["edge_embedder"], h_edge_raw)
+            h_edge_emb = embed_edge_raw(params["edge_embedder"])
             t_norm = jnp.zeros((b, 1, 1), dtype=jnp.float32)
 
         h_node_out, _, h_edge_out = node_edge_net(

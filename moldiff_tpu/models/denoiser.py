@@ -36,7 +36,9 @@ from .nn import (
     init_mlp,
     layernorm,
     linear,
+    linear_parts,
     mlp,
+    mlp_parts,
     safe_distance,
 )
 
@@ -82,18 +84,16 @@ def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False):
         h_edge = mlp(p["edge_net"], edge_attr)              # [B,N,N,H]
         msg = linear(p["msg_net"], h_edge * h_node[:, None, :, :])
         if "gate" in p:
-            b, n = x.shape[0], x.shape[1]
-            gate_in = jnp.concatenate(
-                [
-                    edge_attr,
-                    jnp.broadcast_to(x[:, None, :, :], (b, n, n, x.shape[-1])),
-                    jnp.broadcast_to(
-                        node_time.astype(dt)[:, :, :, None], (b, n, n, 1)
-                    ),
-                ],
-                axis=-1,
+            # gate MLP over implicit concat [edge_attr ‖ x[col] ‖ time]: the
+            # node and time parts are constant along the receiver axis, so
+            # mlp_parts runs them at O(N)/O(1) instead of O(N^2) and never
+            # materializes the [B,N,N,De+Dn+1] concat.
+            gate = mlp_parts(
+                p["gate"],
+                (edge_attr, x[:, None, :, :], node_time.astype(dt)[:, :, :, None]),
+                (edge_attr.shape[-1], x.shape[-1], 1),
             )
-            msg = msg * jax.nn.sigmoid(mlp(p["gate"], gate_in))
+            msg = msg * jax.nn.sigmoid(gate)
         msg = msg * pair_mask.astype(dt)[..., None]
         aggr = jnp.sum(msg, axis=2, dtype=jnp.float32).astype(dt)
     out = linear(p["centroid_lin"], x) + aggr
@@ -125,16 +125,14 @@ def bond_ffn(p, bond_feat_in, node_feat_in, time):
     inter = linear(p["bond_linear"], bond_feat_in) * linear(p["node_linear"], node_feat_in)
     inter = mlp(p["inter"], inter)
     if "gate" in p:
-        shape = jnp.broadcast_shapes(bond_feat_in.shape[:-1], node_feat_in.shape[:-1])
-        gate_in = jnp.concatenate(
-            [
-                jnp.broadcast_to(bond_feat_in, shape + bond_feat_in.shape[-1:]),
-                jnp.broadcast_to(node_feat_in, shape + node_feat_in.shape[-1:]),
-                jnp.broadcast_to(time.astype(bond_feat_in.dtype), shape + (1,)),
-            ],
-            axis=-1,
+        # implicit concat [bond ‖ node ‖ time]: broadcast node/time parts are
+        # matmul'd at their own shape (O(N) / O(1)), no concat materialized.
+        gate = mlp_parts(
+            p["gate"],
+            (bond_feat_in, node_feat_in, time.astype(bond_feat_in.dtype)),
+            (bond_feat_in.shape[-1], node_feat_in.shape[-1], 1),
         )
-        inter = inter * jax.nn.sigmoid(mlp(p["gate"], gate_in))
+        inter = inter * jax.nn.sigmoid(gate)
     return inter
 
 
@@ -356,10 +354,14 @@ def node_edge_net(
             )
             return (h_node, pos_node + pos_delta, h_edge_i), None
         if update_edge:
-            h_edge_in = jnp.concatenate([h_edge, h_dist], axis=-1)
+            # implicit concat [h_edge ‖ h_dist] (both O(N^2); split matmul
+            # just avoids materializing the concat copy)
+            h_edge_i = constrain(linear_parts(
+                blk["edge_emb"], (h_edge, h_dist),
+                (h_edge.shape[-1], h_dist.shape[-1]),
+            ))
         else:
-            h_edge_in = h_dist
-        h_edge_i = constrain(linear(blk["edge_emb"], h_edge_in))
+            h_edge_i = constrain(linear(blk["edge_emb"], h_dist))
 
         h_node_delta = node_block(
             blk["node_block"], h_node, h_edge_i, node_time, pair_mask,

@@ -36,6 +36,45 @@ def linear(p: dict, x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
     return y
 
 
+def linear_parts(p: dict, parts, sizes) -> jnp.ndarray:
+    """Linear over an implicit ``concat(parts, axis=-1)`` WITHOUT materializing
+    the concat: ``concat(parts) @ W == sum_i parts[i] @ W[rows_i]``.
+
+    Each part is matmul'd at its own (possibly broadcast-reduced) shape and
+    the results broadcast-added, so a part that is constant along a pair axis
+    (e.g. node features broadcast over the O(N^2) edge grid, or a per-graph
+    time scalar) costs O(N) / O(1) FLOPs instead of O(N^2). Exact same math
+    as the concat (per-part summation order differs only in float rounding).
+
+    ``sizes[i]`` = feature width of ``parts[i]``; must sum to W's fan-in.
+    """
+    w = p["w"]
+    assert sum(sizes) == w.shape[0], (sizes, w.shape)
+    y = None
+    off = 0
+    for x, sz in zip(parts, sizes):
+        term = x @ w[off:off + sz]
+        y = term if y is None else y + term
+        off += sz
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
+def mlp_parts(p: dict, parts, sizes) -> jnp.ndarray:
+    """``mlp`` whose first Linear runs via :func:`linear_parts` (implicit
+    concat of ``parts``). Layers after the first are unchanged."""
+    first = p["layers"][0]
+    x = linear_parts(first["lin"], parts, sizes)
+    if "ln" in first:
+        x = jax.nn.relu(layernorm(first["ln"], x))
+    for lp in p["layers"][1:]:
+        x = linear(lp["lin"], x)
+        if "ln" in lp:
+            x = jax.nn.relu(layernorm(lp["ln"], x))
+    return x
+
+
 def init_layernorm(dim: int) -> dict:
     return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
 
