@@ -7,3 +7,4 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from . import multihost

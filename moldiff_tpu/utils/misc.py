@@ -68,14 +68,30 @@ def seed_all(seed: int) -> None:
 
 
 class MetricsWriter:
-    """Append-only JSONL scalar writer (TensorBoard replacement).
+    """Append-only JSONL scalar writer, with optional TensorBoard tee.
 
     One line per step: {"step": int, "tag": str, "value": float, "ts": float}.
+    JSONL is the primary store (cheap, grep/pandas-able); when
+    ``tensorboard=True`` (or env ``MOLDIFF_TB=1``) scalars are also written
+    as TB events like the reference train scripts
+    (`/root/reference/scripts/train_drug3d.py:115-119`). TB is opt-in
+    because importing torch.utils.tensorboard costs ~1.5 min in this image.
     """
 
-    def __init__(self, log_dir: str, filename: str = "metrics.jsonl"):
+    def __init__(self, log_dir: str, filename: str = "metrics.jsonl",
+                 tensorboard: "bool | None" = None):
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, filename), "a", buffering=1)
+        if tensorboard is None:
+            tensorboard = os.environ.get("MOLDIFF_TB", "0") == "1"
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(log_dir)
+            except Exception:  # tensorboard not importable: JSONL only
+                self._tb = None
 
     def add_scalar(self, tag: str, value, step: int) -> None:
         self._f.write(
@@ -84,9 +100,15 @@ class MetricsWriter:
             )
             + "\n"
         )
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), int(step))
 
     def flush(self) -> None:
         self._f.flush()
+        if self._tb is not None:
+            self._tb.flush()
 
     def close(self) -> None:
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()

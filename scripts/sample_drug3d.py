@@ -50,12 +50,48 @@ def main(argv=None):
     ap.add_argument("--add_edge", choices=["distance"], default=None,
                     help="re-perceive bonds from distances instead of the "
                          "predicted bond types (reference 'edm' path)")
+    ap.add_argument("--run_name", default=None,
+                    help="fixed run dir name (required to line up shard dirs "
+                         "in multi-host runs; default: config tag + timestamp)")
+    # multi-host pool sharding over DCN (parallel/multihost.py): each process
+    # samples a disjoint slice of the pool into <run>/shard_<pid>
+    ap.add_argument("--num_processes", type=int, default=1)
+    ap.add_argument("--process_id", type=int, default=None)
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 for jax.distributed")
+    ap.add_argument("--merge", metavar="RUN_DIR", default=None,
+                    help="merge shard_* dirs of a previous multi-host run "
+                         "and exit (no sampling)")
     args = ap.parse_args(argv)
+
+    from moldiff_tpu.parallel import multihost
+
+    if args.merge:
+        merged = multihost.merge_shards(args.merge)
+        print(
+            f"merged {args.merge}: {len(merged['finished'])} finished, "
+            f"{len(merged['failed'])} failed"
+        )
+        return args.merge
+
+    multi = args.num_processes > 1
+    if multi:
+        from moldiff_tpu.parallel.mesh import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     config = load_config(args.config)
     seed_all(config.sample.seed)
     tag = os.path.splitext(os.path.basename(args.config))[0]
-    out_dir = os.path.join(args.outdir, f"{tag}_{time.strftime('%Y%m%d_%H%M%S')}")
+    run_name = args.run_name or f"{tag}_{time.strftime('%Y%m%d_%H%M%S')}"
+    out_dir = os.path.join(args.outdir, run_name)
+    if multi:
+        pid = jax.process_index()
+        out_dir = multihost.shard_dir(out_dir, pid)
     sdf_dir = os.path.join(out_dir, "SDF")
     os.makedirs(sdf_dir, exist_ok=True)
     logger = get_logger("sample", out_dir)
@@ -128,6 +164,17 @@ def main(argv=None):
     )
     key = jax.random.key(config.sample.seed)
     rng = np.random.default_rng(config.sample.seed)
+    if multi:
+        # disjoint pool slice + independent (but reproducible) PRNG stream
+        pid = jax.process_index()
+        start, stop = multihost.shard_range(num_mols, pid, args.num_processes)
+        num_mols = stop - start
+        key = multihost.shard_key(key, pid)
+        rng = np.random.default_rng((config.sample.seed, pid))
+        logger.info(
+            f"process {pid}/{args.num_processes}: sampling shard "
+            f"[{start}, {stop}) -> {num_mols} molecules"
+        )
 
     t0 = time.time()
     pool = sampler.generate(
@@ -141,6 +188,13 @@ def main(argv=None):
         f"generated {n_fin} molecules in {dt:.1f}s "
         f"({n_fin / max(dt, 1e-9):.2f} mols/s) | success {success:.3f}"
     )
+    if multi:
+        counts = multihost.allgather_counts(n_fin, n_fail)
+        tot_fin, tot_fail = counts.sum(axis=0)
+        logger.info(
+            f"global pool: finished {tot_fin} | failed {tot_fail} | "
+            f"success {tot_fin / max(tot_fin + tot_fail, 1):.3f}"
+        )
 
     # denoising trajectories for a few molecules (reference save_traj_prob,
     # scripts/sample_drug3d.py:166-170)
