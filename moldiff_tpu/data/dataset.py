@@ -213,8 +213,11 @@ def get_dataset(config, transform=None):
     subsets = {}
     split_path = os.path.join(config["root"], config.get("split", ""))
     if config.get("split") and os.path.exists(split_path):
-        with open(split_path, "rb") as f:
-            split = pickle.load(f)
+        # pickle {split: [molid]} or the reference's torch.save'd
+        # split_by_molid.pt (both accepted for 1:1 data migration)
+        from .convert_lmdb import load_reference_split
+
+        split = load_reference_split(split_path)
         m2i = dataset.molid2idx
         for name, molids in split.items():
             subsets[name] = Subset(
