@@ -405,6 +405,8 @@ class MolDiff:
         chunk_size: int,
         guidance: Optional[Tuple[str, float]] = None,
         bond_predictor=None,
+        data_sharding=None,   # NamedSharding for batch-major carry leaves
+                              # (multi-chip: shard the chain over 'data')
     ) -> SampleResult:
         """The T-step reverse chain as T/chunk_size sequential jitted scans
         with the carry threaded on host.
@@ -446,6 +448,16 @@ class MolDiff:
         fn = self._chunk_fns[cache_key]
 
         carry = (pos, h_node, h_halfedge, log_node, log_halfedge, zero_preds, k_scan)
+        if data_sharding is not None:
+            # place batch-major leaves on the mesh; jit follows input
+            # placement, so every chunk runs sharded over 'data'
+            shard = lambda x: jax.device_put(x, data_sharding)
+            carry = (
+                shard(pos), shard(h_node), shard(h_halfedge),
+                shard(log_node), shard(log_halfedge),
+                MolDiffPreds(*(shard(x) for x in zero_preds)), k_scan,
+            )
+            node_mask = shard(node_mask)
         all_steps = np.arange(T - 1, -1, -1)
         for c in range(T // chunk_size):
             steps = jnp.asarray(all_steps[c * chunk_size:(c + 1) * chunk_size])

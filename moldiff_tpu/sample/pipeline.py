@@ -71,11 +71,14 @@ class MolSampler:
         if cache_key not in self._compiled:
             if self.chunk_steps and not save_traj:
                 # host-chunked chain; the per-chunk scans are jitted inside
+                data = batch_sharding(self.mesh) if self.mesh is not None else None
+
                 def fn(params, node_mask, key):
                     res = self.model.sample_chunked(
                         params, node_mask, key, chunk_size=self.chunk_steps,
                         guidance=self.guidance,
                         bond_predictor=self.bond_predictor,
+                        data_sharding=data,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, None
 

@@ -29,6 +29,27 @@ class TestShardedSampling:
                                        rtol=1e-4, atol=1e-5)
             np.testing.assert_array_equal(a["element"], b["element"])
 
+    def test_sharded_chunked_matches_single(self):
+        """The host-chunked chain (guided-sampling path) must also shard
+        over the mesh and reproduce the unsharded chunked results."""
+        model = tiny_model()
+        params = model.init_params(jax.random.key(0))
+        feat = MolFeaturizer()
+        sizes = np.array([5, 6, 7, 8] * 4, dtype=np.int64)
+
+        T = model.num_timesteps
+        chunk = next(c for c in (4, 2, 1) if T % c == 0)
+        s1 = MolSampler(model, feat, buckets=(8,), batch_size=16,
+                        chunk_steps=chunk)
+        s8 = MolSampler(model, feat, buckets=(8,), batch_size=16,
+                        chunk_steps=chunk, mesh=make_mesh(len(jax.devices())))
+        d1 = s1.sample_sizes(params, sizes, jax.random.key(3))
+        d8 = s8.sample_sizes(params, sizes, jax.random.key(3))
+        for a, b in zip(d1, d8):
+            np.testing.assert_allclose(a["atom_pos"], b["atom_pos"],
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_array_equal(a["element"], b["element"])
+
     def test_batch_size_must_divide(self):
         model = tiny_model()
         with pytest.raises(ValueError):
