@@ -1,0 +1,126 @@
+"""End-to-end quality soak: newest trained checkpoints -> sample (unguided
+and guided) -> evaluate -> one-line summaries.
+
+Automates the manual chain used for the round quality numbers:
+  train_drug3d / train_bond (done beforehand)
+  -> sample_drug3d (configs written on the fly pointing at newest ckpts)
+  -> evaluate_all on each output dir and on the dataset test split
+  -> print validity/success/uniqueness/novelty/diversity summary.
+
+Usage:
+  python scripts/quality_soak.py --logdir ./logs_demo \
+      --dataset_root ./data/synthetic_full [--num_mols 1000] [--no_guided]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def newest_ckpt(logdir: str, prefix: str) -> str:
+    pats = sorted(
+        glob.glob(os.path.join(logdir, f"{prefix}*", "checkpoints", "*.ckpt")),
+        key=lambda p: (os.path.getmtime(p), int(os.path.splitext(os.path.basename(p))[0])),
+    )
+    if not pats:
+        raise FileNotFoundError(f"no checkpoints under {logdir}/{prefix}*")
+    return pats[-1]
+
+
+def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
+                        num_mols=1000, batch_size=128, seed=2023,
+                        size_mean=18.0, size_std=5.0):
+    import yaml
+
+    cfg = {
+        "model": {"checkpoint": ckpt},
+        "sample": {
+            "seed": seed, "batch_size": batch_size, "num_mols": num_mols,
+            "save_traj_prob": 0.0,
+            "size_mean": size_mean, "size_std": size_std,
+        },
+    }
+    if bp_ckpt:
+        cfg["bond_predictor"] = bp_ckpt
+        cfg["sample"]["guidance"] = list(guidance or ("uncertainty", 1e-4))
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return path
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--logdir", default="./logs_demo")
+    ap.add_argument("--denoiser_prefix", default="full_")
+    ap.add_argument("--bp_prefix", default="bp_")
+    ap.add_argument("--dataset_root", default="./data/synthetic_full")
+    ap.add_argument("--outdir", default="./outputs_demo")
+    ap.add_argument("--num_mols", type=int, default=1000)
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--no_guided", action="store_true")
+    ap.add_argument("--no_unguided", action="store_true")
+    ap.add_argument("--guidance_scale", type=float, default=1e-4)
+    args = ap.parse_args(argv)
+
+    from scripts.evaluate_all import main as evaluate_main
+    from scripts.sample_drug3d import main as sample_main
+
+    ckpt = newest_ckpt(args.logdir, args.denoiser_prefix)
+    print(f"[soak] denoiser ckpt: {ckpt}")
+    bp_ckpt = None
+    if not args.no_guided:
+        try:
+            bp_ckpt = newest_ckpt(args.logdir, args.bp_prefix)
+            print(f"[soak] bond-predictor ckpt: {bp_ckpt}")
+        except FileNotFoundError:
+            print("[soak] no bond-predictor checkpoint; skipping guided run")
+
+    os.makedirs(args.outdir, exist_ok=True)
+    runs = []
+    if not args.no_unguided:
+        runs.append(("unguided", None))
+    if bp_ckpt:
+        runs.append(("guided", ("uncertainty", args.guidance_scale)))
+
+    results = {}
+    for name, guidance in runs:
+        cfg_path = os.path.join(args.outdir, f"sample_{name}.yml")
+        write_sample_config(
+            cfg_path, ckpt,
+            bp_ckpt=bp_ckpt if guidance else None, guidance=guidance,
+            num_mols=args.num_mols, batch_size=args.batch_size,
+        )
+        t0 = time.time()
+        out_dir = sample_main([
+            "--config", cfg_path, "--outdir", args.outdir,
+            "--run_name", f"soak_{name}_{time.strftime('%Y%m%d_%H%M%S')}",
+        ])
+        dt = time.time() - t0
+        print(f"[soak] {name}: sampled -> {out_dir} in {dt:.0f}s")
+        evaluate_main([
+            "--from_where", "generated", "--root", out_dir, "--parallel",
+        ])
+        results[name] = out_dir
+
+    # dataset reference metrics (cached)
+    evaluate_main([
+        "--from_where", "dataset", "--dataset_root", args.dataset_root,
+        "--split", "test", "--parallel",
+    ])
+
+    for name, out_dir in results.items():
+        vpath = os.path.join(out_dir, "metrics", "validity.json")
+        if os.path.exists(vpath):
+            with open(vpath) as f:
+                print(f"[soak] {name}: {json.dumps(json.load(f))}")
+    print("[soak] done")
+
+
+if __name__ == "__main__":
+    main()
