@@ -62,7 +62,8 @@ def init_node_block(key, node_dim, edge_dim, hidden_dim, use_gate):
     return p
 
 
-def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False):
+def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False,
+               edge_pre: Optional[dict] = None):
     """x: [B,N,Dn], edge_attr: [B,N,N,De], node_time: [B,1,1], pair_mask: [B,N,N].
 
     Reference graph.py:29-55. Row (receiver) = axis 1, col (sender) = axis 2.
@@ -70,6 +71,11 @@ def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False):
     accumulates in float32. With ``use_pallas`` (gated variant, TPU) the
     message+gate+sum pipeline runs as one fused Pallas kernel
     (ops/pallas_kernels.py) keeping the [N,N,H] intermediates in VMEM.
+
+    ``edge_pre``: precomputed first-layer products of ``edge_attr`` from the
+    block-level fused edge-side matmul (:func:`fused_edge_products`) — keys
+    ``edge_net`` (and ``gate`` when gated), each bias-free [B,N,N,H]. Exact
+    same per-column math as computing them here.
     """
     dt = x.dtype
     if use_pallas and "gate" in p:
@@ -81,18 +87,30 @@ def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False):
         )
     else:
         h_node = mlp(p["node_net"], x)                      # [B,N,H]
-        h_edge = mlp(p["edge_net"], edge_attr)              # [B,N,N,H]
+        if edge_pre is not None:
+            h_edge = mlp_parts(p["edge_net"], (), (edge_attr.shape[-1],),
+                               pre=edge_pre["edge_net"])    # [B,N,N,H]
+        else:
+            h_edge = mlp(p["edge_net"], edge_attr)          # [B,N,N,H]
         msg = linear(p["msg_net"], h_edge * h_node[:, None, :, :])
         if "gate" in p:
             # gate MLP over implicit concat [edge_attr ‖ x[col] ‖ time]: the
             # node and time parts are constant along the receiver axis, so
             # mlp_parts runs them at O(N)/O(1) instead of O(N^2) and never
             # materializes the [B,N,N,De+Dn+1] concat.
-            gate = mlp_parts(
-                p["gate"],
-                (edge_attr, x[:, None, :, :], node_time.astype(dt)[:, :, :, None]),
-                (edge_attr.shape[-1], x.shape[-1], 1),
-            )
+            if edge_pre is not None:
+                gate = mlp_parts(
+                    p["gate"],
+                    (x[:, None, :, :], node_time.astype(dt)[:, :, :, None]),
+                    (edge_attr.shape[-1], x.shape[-1], 1),
+                    pre=edge_pre["gate"],
+                )
+            else:
+                gate = mlp_parts(
+                    p["gate"],
+                    (edge_attr, x[:, None, :, :], node_time.astype(dt)[:, :, :, None]),
+                    (edge_attr.shape[-1], x.shape[-1], 1),
+                )
             msg = msg * jax.nn.sigmoid(gate)
         msg = msg * pair_mask.astype(dt)[..., None]
         aggr = jnp.sum(msg, axis=2, dtype=jnp.float32).astype(dt)
@@ -114,24 +132,37 @@ def init_bond_ffn(key, bond_dim, node_dim, inter_dim, use_gate, out_dim=None):
     return p
 
 
-def bond_ffn(p, bond_feat_in, node_feat_in, time):
+def bond_ffn(p, bond_feat_in, node_feat_in, time,
+             bond_pre: Optional[jnp.ndarray] = None,
+             gate_pre: Optional[jnp.ndarray] = None):
     """Bilinear bond-node fuse (reference graph.py:133-141).
 
     bond_feat_in: [B,N,N,Db]; node_feat_in broadcastable to [B,N,N,Dn];
-    time broadcastable to [B,N,N,1].
+    time broadcastable to [B,N,N,1]. ``bond_pre`` / ``gate_pre`` are optional
+    precomputed bond-side first-layer products (bias-free) from the fused
+    edge-side matmul.
     """
     while time.ndim < bond_feat_in.ndim:
         time = time[..., None]
-    inter = linear(p["bond_linear"], bond_feat_in) * linear(p["node_linear"], node_feat_in)
+    bond_proj = bond_pre if bond_pre is not None else linear(p["bond_linear"], bond_feat_in)
+    inter = bond_proj * linear(p["node_linear"], node_feat_in)
     inter = mlp(p["inter"], inter)
     if "gate" in p:
         # implicit concat [bond ‖ node ‖ time]: broadcast node/time parts are
         # matmul'd at their own shape (O(N) / O(1)), no concat materialized.
-        gate = mlp_parts(
-            p["gate"],
-            (bond_feat_in, node_feat_in, time.astype(bond_feat_in.dtype)),
-            (bond_feat_in.shape[-1], node_feat_in.shape[-1], 1),
-        )
+        if gate_pre is not None:
+            gate = mlp_parts(
+                p["gate"],
+                (node_feat_in, time.astype(bond_feat_in.dtype)),
+                (bond_feat_in.shape[-1], node_feat_in.shape[-1], 1),
+                pre=gate_pre,
+            )
+        else:
+            gate = mlp_parts(
+                p["gate"],
+                (bond_feat_in, node_feat_in, time.astype(bond_feat_in.dtype)),
+                (bond_feat_in.shape[-1], node_feat_in.shape[-1], 1),
+            )
         inter = inter * jax.nn.sigmoid(gate)
     return inter
 
@@ -150,7 +181,8 @@ def init_edge_block(key, edge_dim, node_dim, use_gate):
     }
 
 
-def edge_block(p, h_bond, h_node, bond_time, pair_mask):
+def edge_block(p, h_bond, h_node, bond_time, pair_mask,
+               edge_pre: Optional[dict] = None):
     """h_bond: [B,N,N,De] directed edge (i<-j is [b,i,j]); h_node: [B,N,Dn].
 
     Reference graph.py:268-295: edge<->edge interaction through shared
@@ -159,29 +191,82 @@ def edge_block(p, h_bond, h_node, bond_time, pair_mask):
                   out[e] = T[left(e)]   -> dense: T = sum over axis1, out[i,j] = T[i]
       msg_right = BondFFN(h_bond, h_node[right]); U[k] = sum_{e: left=k} msg_right[e];
                   out[e] = U[right(e)]  -> dense: U = sum over axis2, out[i,j] = U[j]
+
+    ``edge_pre``: precomputed bond-side first-layer products of ``h_bond``
+    (bias-free) from :func:`fused_edge_products` — keys ``bond_left``,
+    ``bond_right``, ``self_ffn`` and (gated) ``gate_left``, ``gate_right``.
     """
     dt = h_bond.dtype
     mask = pair_mask.astype(dt)[..., None]
     h_left = h_node[:, :, None, :]   # node at left/row index i
     h_right = h_node[:, None, :, :]  # node at right/col index j
+    pre = edge_pre or {}
 
-    msg_left = bond_ffn(p["bond_ffn_left"], h_bond, h_left, bond_time) * mask
+    msg_left = bond_ffn(p["bond_ffn_left"], h_bond, h_left, bond_time,
+                        bond_pre=pre.get("bond_left"),
+                        gate_pre=pre.get("gate_left")) * mask
     t_per_node = jnp.sum(msg_left, axis=1, dtype=jnp.float32).astype(dt)
     msg_left_out = t_per_node[:, :, None, :]               # gather back by left index
 
-    msg_right = bond_ffn(p["bond_ffn_right"], h_bond, h_right, bond_time) * mask
+    msg_right = bond_ffn(p["bond_ffn_right"], h_bond, h_right, bond_time,
+                         bond_pre=pre.get("bond_right"),
+                         gate_pre=pre.get("gate_right")) * mask
     u_per_node = jnp.sum(msg_right, axis=2, dtype=jnp.float32).astype(dt)
     msg_right_out = u_per_node[:, None, :, :]              # gather back by right index
 
+    if "self_ffn" in pre:
+        self_term = pre["self_ffn"] + p["self_ffn"]["b"]
+    else:
+        self_term = linear(p["self_ffn"], h_bond)
     h = (
         msg_left_out
         + msg_right_out
         + linear(p["node_ffn_left"], h_left)
         + linear(p["node_ffn_right"], h_right)
-        + linear(p["self_ffn"], h_bond)
+        + self_term
     )
     h = layernorm(p["ln"], h)
     return linear(p["out"], jax.nn.relu(h))
+
+
+def fused_edge_products(blk, h_edge, update_edge: bool) -> dict:
+    """All bond-side first-layer matmuls over the (pre-residual) edge tensor
+    as ONE ``[*,De] @ [De, sum(widths)]`` matmul.
+
+    NodeBlock's edge MLP + gate and EdgeBlock's two bond_linears, two gates
+    and self_ffn each read the same ``h_edge`` [B,N,N,De]; concatenating
+    their weight columns reads it once instead of up to seven times and
+    replaces seven narrow matmuls with one wide MXU pass. Per output column
+    the accumulation is identical to the separate matmuls (bias-free — each
+    consumer adds its own bias exactly where it did before).
+
+    MEASURED NEGATIVE on v5e (2026-08): the fused [B,N,N,896] intermediate
+    forces materialization + non-128-aligned slices, and the e2e sampler ran
+    ~2x SLOWER (18.9s vs 9.8s per 1000-step chain, B=128 N=32) than letting
+    XLA fuse each narrow matmul into its consumer's epilogue. Kept (default
+    OFF, `fuse_edge` static flag) as tested infrastructure / documentation
+    of the result.
+    """
+    nb = blk["node_block"]
+    de = h_edge.shape[-1]
+    segs = [("nb_edge", nb["edge_net"]["layers"][0]["lin"]["w"])]
+    if "gate" in nb:
+        segs.append(("nb_gate", nb["gate"]["layers"][0]["lin"]["w"][:de]))
+    if update_edge:
+        eb = blk["edge_block"]
+        segs.append(("self_ffn", eb["self_ffn"]["w"]))
+        segs.append(("bond_left", eb["bond_ffn_left"]["bond_linear"]["w"]))
+        segs.append(("bond_right", eb["bond_ffn_right"]["bond_linear"]["w"]))
+        if "gate" in eb["bond_ffn_left"]:
+            segs.append(("gate_left", eb["bond_ffn_left"]["gate"]["layers"][0]["lin"]["w"][:de]))
+            segs.append(("gate_right", eb["bond_ffn_right"]["gate"]["layers"][0]["lin"]["w"][:de]))
+    wcat = jnp.concatenate([w for _, w in segs], axis=1)
+    fused = h_edge @ wcat
+    out, off = {}, 0
+    for name, w in segs:
+        out[name] = fused[..., off:off + w.shape[1]]
+        off += w.shape[1]
+    return out
 
 
 def init_pos_update(key, node_dim, edge_dim, hidden_dim, use_gate):
@@ -193,15 +278,28 @@ def init_pos_update(key, node_dim, edge_dim, hidden_dim, use_gate):
     }
 
 
-def pos_update(p, h_node, h_edge, rel_vec, distance, edge_time, pair_mask):
+def pos_update(p, h_node, h_edge, rel_vec, distance, edge_time, pair_mask,
+               fuse_edge: bool = False):
     """E(3)-equivariant position delta (reference graph.py:384-396).
 
     rel_vec[b,i,j] = pos[i] - pos[j]; per-edge scalar weight * unit-ish vector,
-    aggregated over senders j for each receiver i.
+    aggregated over senders j for each receiver i. With ``fuse_edge`` the
+    bond_linear and gate first-layer products of ``h_edge`` run as one
+    concatenated-weight matmul (one read of the [B,N,N,De] tensor).
     """
     left_feat = mlp(p["left_lin_edge"], h_node)[:, :, None, :]
     right_feat = mlp(p["right_lin_edge"], h_node)[:, None, :, :]
-    weight = bond_ffn(p["edge_lin"], h_edge, left_feat * right_feat, edge_time)  # [B,N,N,1]
+    el = p["edge_lin"]
+    bond_pre = gate_pre = None
+    if fuse_edge and "gate" in el:
+        de = h_edge.shape[-1]
+        w_bond = el["bond_linear"]["w"]
+        w_gate = el["gate"]["layers"][0]["lin"]["w"][:de]
+        fused = h_edge @ jnp.concatenate([w_bond, w_gate], axis=1)
+        bond_pre = fused[..., : w_bond.shape[1]]
+        gate_pre = fused[..., w_bond.shape[1]:]
+    weight = bond_ffn(el, h_edge, left_feat * right_feat, edge_time,
+                      bond_pre=bond_pre, gate_pre=gate_pre)  # [B,N,N,1]
 
     # position force in float32 regardless of compute dtype
     d = distance[..., None]
@@ -227,6 +325,7 @@ def denoiser_static_config(
     remat: bool = True,
     use_pallas: bool = False,
     fuse_block: bool = False,
+    fuse_edge: bool = False,
     **_unused,
 ) -> dict:
     """Static (non-trainable) architecture config; defaults mirror the
@@ -246,6 +345,7 @@ def denoiser_static_config(
         "remat": remat,
         "use_pallas": use_pallas,
         "fuse_block": fuse_block,
+        "fuse_edge": fuse_edge,
     }
 
 
@@ -363,20 +463,37 @@ def node_edge_net(
         else:
             h_edge_i = constrain(linear(blk["edge_emb"], h_dist))
 
+        use_pallas = static.get("use_pallas", False) and pair_sharding is None
+        fuse_edge = (
+            static.get("fuse_edge", False)
+            and not use_pallas
+            and pair_sharding is None
+        )
+        if fuse_edge:
+            pre = fused_edge_products(blk, h_edge_i, update_edge)
+            node_pre = {"edge_net": pre["nb_edge"]}
+            if "nb_gate" in pre:
+                node_pre["gate"] = pre["nb_gate"]
+        else:
+            pre, node_pre = {}, None
+
         h_node_delta = node_block(
             blk["node_block"], h_node, h_edge_i, node_time, pair_mask,
             # pallas kernel and GSPMD pair-sharding are mutually exclusive
-            use_pallas=static.get("use_pallas", False) and pair_sharding is None,
+            use_pallas=use_pallas,
+            edge_pre=node_pre,
         )
         if update_edge:
             h_edge_i = h_edge_i + edge_block(
-                blk["edge_block"], h_edge_i, h_node, edge_time, pair_mask
+                blk["edge_block"], h_edge_i, h_node, edge_time, pair_mask,
+                edge_pre=pre if fuse_edge else None,
             )
         h_node = h_node + h_node_delta
         if update_pos:
             pos_node = pos_node + pos_update(
                 blk["pos_block"], h_node, h_edge_i, rel_vec, distance,
                 edge_time, pair_mask,
+                fuse_edge=static.get("fuse_edge", False) and pair_sharding is None,
             )
         return (h_node, pos_node, h_edge_i), None
 

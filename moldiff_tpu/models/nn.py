@@ -36,7 +36,7 @@ def linear(p: dict, x: jnp.ndarray, *, dtype=None) -> jnp.ndarray:
     return y
 
 
-def linear_parts(p: dict, parts, sizes) -> jnp.ndarray:
+def linear_parts(p: dict, parts, sizes, pre: jnp.ndarray | None = None) -> jnp.ndarray:
     """Linear over an implicit ``concat(parts, axis=-1)`` WITHOUT materializing
     the concat: ``concat(parts) @ W == sum_i parts[i] @ W[rows_i]``.
 
@@ -47,12 +47,18 @@ def linear_parts(p: dict, parts, sizes) -> jnp.ndarray:
     as the concat (per-part summation order differs only in float rounding).
 
     ``sizes[i]`` = feature width of ``parts[i]``; must sum to W's fan-in.
+
+    ``pre``: precomputed leading contribution (already multiplied by its W
+    rows, no bias) — used by the denoiser's fused edge-side matmul, where the
+    first part's product comes out of one big concatenated-weight matmul.
+    When given, the leading ``len(pre_sizes) = len(sizes) - len(parts)``
+    weight rows are skipped.
     """
     w = p["w"]
     assert sum(sizes) == w.shape[0], (sizes, w.shape)
-    y = None
-    off = 0
-    for x, sz in zip(parts, sizes):
+    y = pre
+    off = sum(sizes[: len(sizes) - len(parts)])
+    for x, sz in zip(parts, sizes[len(sizes) - len(parts):]):
         term = x @ w[off:off + sz]
         y = term if y is None else y + term
         off += sz
@@ -61,11 +67,12 @@ def linear_parts(p: dict, parts, sizes) -> jnp.ndarray:
     return y
 
 
-def mlp_parts(p: dict, parts, sizes) -> jnp.ndarray:
+def mlp_parts(p: dict, parts, sizes, pre: jnp.ndarray | None = None) -> jnp.ndarray:
     """``mlp`` whose first Linear runs via :func:`linear_parts` (implicit
-    concat of ``parts``). Layers after the first are unchanged."""
+    concat of ``parts``, optional precomputed ``pre`` contribution). Layers
+    after the first are unchanged."""
     first = p["layers"][0]
-    x = linear_parts(first["lin"], parts, sizes)
+    x = linear_parts(first["lin"], parts, sizes, pre=pre)
     if "ln" in first:
         x = jax.nn.relu(layernorm(first["ln"], x))
     for lp in p["layers"][1:]:

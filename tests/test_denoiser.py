@@ -164,3 +164,26 @@ def test_large_bucket_n64():
     mask = jnp.ones((b, n))
     preds = model.forward(params, h_node, pos, h_he, t, mask)
     assert preds.pred_halfedge.shape == (b, e, 6)
+
+
+@pytest.mark.parametrize("use_gate", [True, False])
+@pytest.mark.parametrize("update_edge", [True, False])
+def test_fused_edge_matmul_equivalence(use_gate, update_edge):
+    """fuse_edge=True (one concatenated-weight matmul over the edge tensor)
+    must match the unfused per-consumer matmuls (same math, float-tolerance)."""
+    params, static_fused = init_node_edge_net(
+        jax.random.PRNGKey(7), NODE_DIM, EDGE_DIM,
+        num_blocks=2, cutoff=15.0, use_gate=use_gate,
+        update_edge=update_edge, fuse_edge=True, remat=False,
+    )
+    static_unfused = dict(static_fused, fuse_edge=False)
+    h_node, pos, h_edge, t = _inputs(jax.random.PRNGKey(8))
+    mask = jnp.ones((B, N))
+    pair_mask = graph_ops.pair_mask_from_node_mask(mask)
+
+    out_f = node_edge_net(params, static_fused, h_node, pos, h_edge, t, t, pair_mask)
+    out_u = node_edge_net(params, static_unfused, h_node, pos, h_edge, t, t, pair_mask)
+    for a, b_, name in zip(out_f, out_u, ("h_node", "pos", "h_edge")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=2e-5, atol=2e-5,
+            err_msg=f"fused vs unfused mismatch in {name}")

@@ -101,3 +101,34 @@ def test_mlp_parts_grads_match(rng):
     g_want = jax.grad(loss_concat)(e)
     g_got = jax.grad(loss_parts)(e)
     np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want), atol=1e-4)
+
+
+def test_linear_parts_pre_contribution(rng):
+    """`pre=` path: precomputed leading product == computing it in place."""
+    key = jax.random.key(3)
+    p = init_linear(key, 64 + 256 + 1, 96)
+    b, n = 3, 5
+    e = jnp.asarray(rng.normal(size=(b, n, n, 64)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(b, 1, n, 256)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(b, 1, 1, 1)), jnp.float32)
+
+    direct = linear_parts(p, (e, x, t), (64, 256, 1))
+    pre = e @ p["w"][:64]
+    via_pre = linear_parts(p, (x, t), (64, 256, 1), pre=pre)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(via_pre),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mlp_parts_pre_contribution(rng):
+    key = jax.random.key(4)
+    p = init_mlp(key, 64 + 256 + 1, 48, 96)
+    b, n = 2, 4
+    e = jnp.asarray(rng.normal(size=(b, n, n, 64)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(b, 1, n, 256)), jnp.float32)
+    t = jnp.asarray(rng.normal(size=(b, 1, 1, 1)), jnp.float32)
+
+    direct = mlp_parts(p, (e, x, t), (64, 256, 1))
+    pre = e @ p["layers"][0]["lin"]["w"][:64]
+    via_pre = mlp_parts(p, (x, t), (64, 256, 1), pre=pre)
+    np.testing.assert_allclose(np.asarray(direct), np.asarray(via_pre),
+                               rtol=1e-5, atol=1e-5)
