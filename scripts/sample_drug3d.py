@@ -118,9 +118,10 @@ def main(argv=None):
     if config.get("bond_predictor"):
         bp_ckpt = load_checkpoint(config.bond_predictor)
         bp_config = Config(bp_ckpt["config"])
-        # guidance grads through the predictor don't need remat at these
-        # activation sizes; it only multiplies compile time
-        bp_config.model.encoder["remat"] = False
+        # remat the predictor encoder: the guidance grad's backward is
+        # HBM-bound on saved scan activations; recomputing them is ~28%
+        # faster measured on v5e (52 vs 72 ms/step, B=128 N=32)
+        bp_config.model.encoder["remat"] = True
         # at sample time the predictor sees no mask edge class (reference
         # scripts/sample_drug3d.py:88 instantiates with num_edge_types - 1)
         bp = BondPredictor(
