@@ -299,11 +299,19 @@ class MolDiff:
         guidance: Optional[Tuple[str, float]] = None,
         bond_predictor=None,          # (BondPredictor, bp_params) when guided
         save_traj: bool = False,
+        guidance_interval: int = 1,
     ) -> SampleResult:
         """Full T-step ancestral reverse sampler as one lax.scan.
 
         Reference model.py:236-378. Carry threads the recursive categorical
         log-posteriors in addition to the sampled one-hots.
+
+        ``guidance_interval``: apply the bond-predictor gradient only on
+        steps where ``step % interval == 0`` (always including the final
+        step 0). 1 (default) is the reference-exact every-step behavior;
+        larger values trade guidance strength for sampling speed (the
+        guidance gradient costs ~5x a denoiser step). Framework extension —
+        not in the reference.
         """
         b, n = node_mask.shape
         e = graph_ops.num_halfedges(n)
@@ -326,7 +334,8 @@ class MolDiff:
         )
 
         body = self._make_scan_body(
-            params, node_mask, guidance, bond_predictor, save_traj
+            params, node_mask, guidance, bond_predictor, save_traj,
+            guidance_interval=guidance_interval,
         )
         init = (pos, h_node, h_halfedge, log_node, log_halfedge, zero_preds, k_scan)
         steps = jnp.arange(T - 1, -1, -1)
@@ -342,7 +351,7 @@ class MolDiff:
         return SampleResult(preds.pred_node, preds.pred_pos, preds.pred_halfedge, traj)
 
     def _make_scan_body(self, params, node_mask, guidance, bond_predictor,
-                        save_traj: bool):
+                        save_traj: bool, guidance_interval: int = 1):
         """One reverse step of the discrete sampler (shared by the single
         lax.scan and the chunked variant). Reference model.py:271-367."""
         b = node_mask.shape[0]
@@ -375,18 +384,32 @@ class MolDiff:
             if guidance is not None:
                 gui_type, gui_scale = guidance
                 if gui_scale > 0:
-                    delta = _bond_guidance_delta(
-                        bond_predictor,
-                        gui_type,
-                        gui_scale,
-                        h_node_pert=h_node,
-                        pos_pert=pos,
-                        t=t,
-                        node_mask=node_mask,
-                        halfedge_type_prev=halfedge_type_prev,
-                        log_halfedge_type=log_halfedge_new,
-                    )
-                    pos_prev = pos_prev + delta
+                    def apply_guidance(pos_prev_in):
+                        delta = _bond_guidance_delta(
+                            bond_predictor,
+                            gui_type,
+                            gui_scale,
+                            h_node_pert=h_node,
+                            pos_pert=pos,
+                            t=t,
+                            node_mask=node_mask,
+                            halfedge_type_prev=halfedge_type_prev,
+                            log_halfedge_type=log_halfedge_new,
+                        )
+                        return pos_prev_in + delta
+
+                    if guidance_interval <= 1:
+                        pos_prev = apply_guidance(pos_prev)
+                    else:
+                        # apply every k-th step (incl. final step 0); the
+                        # untaken lax.cond branch is skipped at runtime, so
+                        # skipped steps cost no bond-predictor grad
+                        pos_prev = jax.lax.cond(
+                            step % guidance_interval == 0,
+                            apply_guidance,
+                            lambda p: p,
+                            pos_prev,
+                        )
 
             carry = (
                 pos_prev, h_node_prev, h_halfedge_prev,
@@ -407,6 +430,7 @@ class MolDiff:
         bond_predictor=None,
         data_sharding=None,   # NamedSharding for batch-major carry leaves
                               # (multi-chip: shard the chain over 'data')
+        guidance_interval: int = 1,
     ) -> SampleResult:
         """The T-step reverse chain as T/chunk_size sequential jitted scans
         with the carry threaded on host.
@@ -434,13 +458,15 @@ class MolDiff:
             jnp.zeros((b, e, self.num_edge_types)),
         )
 
-        cache_key = (b, n, chunk_size, guidance, bond_predictor is not None)
+        cache_key = (b, n, chunk_size, guidance, bond_predictor is not None,
+                     guidance_interval)
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
         if cache_key not in self._chunk_fns:
             def chunk_fn(params, node_mask, carry, steps):
                 body = self._make_scan_body(
-                    params, node_mask, guidance, bond_predictor, save_traj=False
+                    params, node_mask, guidance, bond_predictor, save_traj=False,
+                    guidance_interval=guidance_interval,
                 )
                 return jax.lax.scan(body, carry, steps)
 

@@ -42,6 +42,7 @@ class MolSampler:
         mesh=None,
         add_edge: Optional[str] = None,
         chunk_steps: Optional[int] = None,
+        guidance_interval: int = 1,
     ):
         self.model = model
         self.featurizer = featurizer
@@ -60,6 +61,8 @@ class MolSampler:
         # guided sampling: one full-chain execution can exceed runtime RPC
         # deadlines); None = single lax.scan
         self.chunk_steps = chunk_steps
+        # apply guidance every k-th step (1 = reference-exact every step)
+        self.guidance_interval = guidance_interval
         if mesh is not None and batch_size % mesh.size != 0:
             raise ValueError(
                 f"batch_size {batch_size} must divide mesh size {mesh.size}"
@@ -79,6 +82,7 @@ class MolSampler:
                         guidance=self.guidance,
                         bond_predictor=self.bond_predictor,
                         data_sharding=data,
+                        guidance_interval=self.guidance_interval,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, None
 
@@ -91,6 +95,7 @@ class MolSampler:
                     guidance=self.guidance,
                     bond_predictor=self.bond_predictor,
                     save_traj=save_traj,
+                    guidance_interval=self.guidance_interval,
                 )
                 return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 

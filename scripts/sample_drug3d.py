@@ -161,7 +161,11 @@ def main(argv=None):
         model, featurizer,
         bond_predictor=bond_predictor, guidance=guidance,
         batch_size=per_call, mesh=mesh, add_edge=args.add_edge,
-        chunk_steps=chunk_steps, **size_kw,
+        chunk_steps=chunk_steps,
+        # framework extension: apply guidance every k-th step (default 1 =
+        # reference-exact; the guidance grad costs ~5x a denoiser step)
+        guidance_interval=int(config.sample.get("guidance_interval", 1)),
+        **size_kw,
     )
     key = jax.random.key(config.sample.seed)
     rng = np.random.default_rng(config.sample.seed)

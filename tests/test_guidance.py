@@ -147,3 +147,41 @@ def test_chunked_equals_single_scan(setup):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(r1.pred_node),
                                np.asarray(r2.pred_node), rtol=1e-5, atol=1e-6)
+
+
+def test_guidance_interval(setup):
+    """interval=1 == default every-step; interval=T behaves like guidance on
+    only the steps where step % T == 0 (i.e. the final step), so it sits
+    strictly between unguided and every-step for a large-scale signal."""
+    model, params, bp, bp_params, node_mask = setup
+    gd = ("uncertainty", 1e-1)
+    every = model.sample(
+        params, node_mask, jax.random.key(5),
+        guidance=gd, bond_predictor=(bp, bp_params),
+    )
+    every_explicit = model.sample(
+        params, node_mask, jax.random.key(5),
+        guidance=gd, bond_predictor=(bp, bp_params), guidance_interval=1,
+    )
+    np.testing.assert_allclose(
+        np.asarray(every.pred_pos), np.asarray(every_explicit.pred_pos),
+        atol=1e-6,
+    )
+
+    k2 = model.sample(
+        params, node_mask, jax.random.key(5),
+        guidance=gd, bond_predictor=(bp, bp_params), guidance_interval=2,
+    )
+    # applying guidance on half the steps must differ from every step
+    assert not np.allclose(np.asarray(every.pred_pos), np.asarray(k2.pred_pos))
+    unguided = model.sample(params, node_mask, jax.random.key(5))
+    assert not np.allclose(np.asarray(unguided.pred_pos), np.asarray(k2.pred_pos))
+
+    # chunked path honors the interval and matches the single-scan path
+    k2_chunked = model.sample_chunked(
+        params, node_mask, jax.random.key(5), chunk_size=3,
+        guidance=gd, bond_predictor=(bp, bp_params), guidance_interval=2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(k2.pred_pos), np.asarray(k2_chunked.pred_pos), atol=1e-5
+    )
