@@ -431,6 +431,7 @@ class MolDiff:
         data_sharding=None,   # NamedSharding for batch-major carry leaves
                               # (multi-chip: shard the chain over 'data')
         guidance_interval: int = 1,
+        save_traj: bool = False,
     ) -> SampleResult:
         """The T-step reverse chain as T/chunk_size sequential jitted scans
         with the carry threaded on host.
@@ -441,6 +442,12 @@ class MolDiff:
         chunk has identical shapes, so there is exactly ONE compile; results
         are bitwise-identical to the single-scan path (scan is sequential).
         Discrete categorical space only.
+
+        ``save_traj``: per-chunk stacked states are pulled to host and
+        concatenated, so trajectory saving works for chains too long for a
+        single device execution (the reference saves trajectories under
+        guidance by default: configs/sample/sample_MolDiff.yml
+        save_traj_prob 0.02).
         """
         assert self.categorical_space == "discrete"
         b, n = node_mask.shape
@@ -459,13 +466,14 @@ class MolDiff:
         )
 
         cache_key = (b, n, chunk_size, guidance, bond_predictor is not None,
-                     guidance_interval)
+                     guidance_interval, save_traj)
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
         if cache_key not in self._chunk_fns:
             def chunk_fn(params, node_mask, carry, steps):
                 body = self._make_scan_body(
-                    params, node_mask, guidance, bond_predictor, save_traj=False,
+                    params, node_mask, guidance, bond_predictor,
+                    save_traj=save_traj,
                     guidance_interval=guidance_interval,
                 )
                 return jax.lax.scan(body, carry, steps)
@@ -484,12 +492,26 @@ class MolDiff:
                 MolDiffPreds(*(shard(x) for x in zero_preds)), k_scan,
             )
             node_mask = shard(node_mask)
+        # initial prior state for traj[0] (matches the single-scan path)
+        init_state = (h_node, pos, h_halfedge)
         all_steps = np.arange(T - 1, -1, -1)
+        traj_chunks = []
         for c in range(T // chunk_size):
             steps = jnp.asarray(all_steps[c * chunk_size:(c + 1) * chunk_size])
-            carry, _ = fn(params, node_mask, carry, steps)
+            carry, ys = fn(params, node_mask, carry, steps)
+            if save_traj:
+                # pull each chunk's stacked states to host so device memory
+                # stays bounded by one chunk
+                traj_chunks.append(tuple(np.asarray(y) for y in ys))
         preds = carry[5]
-        return SampleResult(preds.pred_node, preds.pred_pos, preds.pred_halfedge, None)
+        traj = None
+        if save_traj:
+            traj = tuple(
+                np.concatenate([np.asarray(x0)[None]] + [tc[i] for tc in traj_chunks],
+                               axis=0)
+                for i, x0 in enumerate(init_state)
+            )
+        return SampleResult(preds.pred_node, preds.pred_pos, preds.pred_halfedge, traj)
 
     def _sample_continuous(
         self, params, node_mask, key, guidance=None, bond_predictor=None,

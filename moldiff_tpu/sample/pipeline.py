@@ -72,8 +72,11 @@ class MolSampler:
     def _sample_fn(self, n_bucket: int, save_traj: bool = False):
         cache_key = (n_bucket, save_traj)
         if cache_key not in self._compiled:
-            if self.chunk_steps and not save_traj:
-                # host-chunked chain; the per-chunk scans are jitted inside
+            if self.chunk_steps:
+                # host-chunked chain; the per-chunk scans are jitted inside.
+                # save_traj works here too (per-chunk stacked states are
+                # pulled to host), so guided trajectory saving never exceeds
+                # one chunk's device execution time.
                 data = batch_sharding(self.mesh) if self.mesh is not None else None
 
                 def fn(params, node_mask, key):
@@ -83,8 +86,9 @@ class MolSampler:
                         bond_predictor=self.bond_predictor,
                         data_sharding=data,
                         guidance_interval=self.guidance_interval,
+                        save_traj=save_traj,
                     )
-                    return res.pred_node, res.pred_pos, res.pred_halfedge, None
+                    return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
                 self._compiled[cache_key] = fn
                 return fn

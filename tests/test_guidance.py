@@ -185,3 +185,22 @@ def test_guidance_interval(setup):
     np.testing.assert_allclose(
         np.asarray(k2.pred_pos), np.asarray(k2_chunked.pred_pos), atol=1e-5
     )
+
+
+def test_chunked_traj_equals_single_scan_traj(setup):
+    """Chunked trajectory saving (host-concatenated per-chunk states) must
+    reproduce the single-scan trajectory, guided and unguided."""
+    model, params, bp, bp_params, node_mask = setup
+    for kw in (
+        {},
+        dict(guidance=("uncertainty", 1e-2), bond_predictor=(bp, bp_params)),
+    ):
+        r1 = model.sample(params, node_mask, jax.random.key(11),
+                          save_traj=True, **kw)
+        r2 = model.sample_chunked(params, node_mask, jax.random.key(11),
+                                  chunk_size=2, save_traj=True, **kw)
+        assert r2.traj is not None and len(r2.traj) == 3
+        for a, b in zip(r1.traj, r2.traj):
+            assert np.asarray(a).shape == np.asarray(b).shape
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
