@@ -105,6 +105,9 @@ def main(argv=None):
         print(f"[soak] {name}: sampled -> {out_dir} in {dt:.0f}s")
         evaluate_main([
             "--from_where", "generated", "--root", out_dir, "--parallel",
+            # dataset root enables the similarity family (uniqueness/novelty/
+            # sim_with_train/val/diversity) against cached split fingerprints
+            "--dataset_root", args.dataset_root,
         ])
         results[name] = out_dir
 
@@ -115,10 +118,14 @@ def main(argv=None):
     ])
 
     for name, out_dir in results.items():
-        vpath = os.path.join(out_dir, "metrics", "validity.json")
-        if os.path.exists(vpath):
-            with open(vpath) as f:
-                print(f"[soak] {name}: {json.dumps(json.load(f))}")
+        summary = {}
+        for fname in ("validity.json", "similarity.json"):
+            path = os.path.join(out_dir, "metrics", fname)
+            if os.path.exists(path):
+                with open(path) as f:
+                    summary.update(json.load(f))
+        if summary:
+            print(f"[soak] {name}: {json.dumps(summary)}")
     print("[soak] done")
 
 
