@@ -590,6 +590,15 @@ class MolDiff:
 # bond guidance (reference model.py:309-362)
 # ---------------------------------------------------------------------------
 
+# drift direction per guidance mode (reference model.py:309-362: minimize
+# entropy/uncertainty/crossent scores, maximize logit scores)
+_GUIDANCE_SIGN = {
+    "entropy": -1.0, "uncertainty": -1.0, "uncertainty_bond": -1.0,
+    "entropy_bond": -1.0, "logit_bond": +1.0, "logit": +1.0,
+    "crossent": -1.0, "crossent_bond": -1.0,
+}
+
+
 def _bond_guidance_delta(
     bond_predictor,
     gui_type: str,
@@ -607,6 +616,8 @@ def _bond_guidance_delta(
     (the reference's ragged sums only ever see real edges).
     """
     bp, bp_params = bond_predictor
+    if gui_type not in _GUIDANCE_SIGN:
+        raise NotImplementedError(f"guidance type {gui_type}")
     halfedge_mask = graph_ops.halfedge_mask_from_node_mask(node_mask)
     eps = 1e-12
 
@@ -615,20 +626,20 @@ def _bond_guidance_delta(
         if gui_type == "entropy":
             prob = jax.nn.softmax(pred, axis=-1)
             ent = -jnp.sum(prob * jnp.log(prob + eps), axis=-1)
-            return jnp.sum(jnp.log(ent) * halfedge_mask), -1.0
+            return jnp.sum(jnp.log(ent) * halfedge_mask)
         elif gui_type == "uncertainty":
             unc = jax.nn.sigmoid(-jax.scipy.special.logsumexp(pred, axis=-1))
-            return jnp.sum(jnp.log(unc) * halfedge_mask), -1.0
+            return jnp.sum(jnp.log(unc) * halfedge_mask)
         elif gui_type == "uncertainty_bond":
             prob = jax.nn.softmax(pred, axis=-1)
             unc = jax.nn.sigmoid(-jax.scipy.special.logsumexp(pred, axis=-1))
             w = jax.lax.stop_gradient(jnp.sum(prob[..., 1:], axis=-1))
-            return jnp.sum(jnp.log(unc) * w * halfedge_mask), -1.0
+            return jnp.sum(jnp.log(unc) * w * halfedge_mask)
         elif gui_type == "entropy_bond":
             prob = jax.nn.softmax(pred, axis=-1)
             ent = -jnp.sum(prob * jnp.log(prob + eps), axis=-1)
             w = jax.lax.stop_gradient(jnp.sum(prob[..., 1:], axis=-1))
-            return jnp.sum(jnp.log(ent) * w * halfedge_mask), -1.0
+            return jnp.sum(jnp.log(ent) * w * halfedge_mask)
         elif gui_type == "logit_bond":
             is_real = (
                 (halfedge_type_prev >= 1) & (halfedge_type_prev <= 4)
@@ -636,20 +647,20 @@ def _bond_guidance_delta(
             sel = jnp.take_along_axis(
                 pred, jnp.clip(halfedge_type_prev, 0, pred.shape[-1] - 1)[..., None], axis=-1
             ).squeeze(-1)
-            return jnp.sum(sel * is_real * halfedge_mask), +1.0
+            return jnp.sum(sel * is_real * halfedge_mask)
         elif gui_type == "logit":
             not_mask = (halfedge_type_prev <= 4).astype(pred.dtype)
             sel = jnp.take_along_axis(
                 pred, jnp.clip(halfedge_type_prev, 0, pred.shape[-1] - 1)[..., None], axis=-1
             ).squeeze(-1)
-            return jnp.sum(sel * not_mask * halfedge_mask), +1.0
+            return jnp.sum(sel * not_mask * halfedge_mask)
         elif gui_type == "crossent":
             # soft-target CE against posterior probs (all classes but the mask)
             target = jax.lax.stop_gradient(
                 jnp.exp(log_halfedge_type)[..., :-1]
             )
             ce = -jnp.sum(target * jax.nn.log_softmax(pred, axis=-1), axis=-1)
-            return jnp.sum(jnp.log(ce + eps) * halfedge_mask), -1.0
+            return jnp.sum(jnp.log(ce + eps) * halfedge_mask)
         elif gui_type == "crossent_bond":
             target = jax.lax.stop_gradient(
                 jnp.exp(log_halfedge_type)[..., 1:-1]
@@ -657,10 +668,9 @@ def _bond_guidance_delta(
             ce = -jnp.sum(
                 target * jax.nn.log_softmax(pred[..., 1:], axis=-1), axis=-1
             )
-            return jnp.sum(jnp.log(ce + eps) * halfedge_mask), -1.0
+            return jnp.sum(jnp.log(ce + eps) * halfedge_mask)
         else:
             raise NotImplementedError(f"guidance type {gui_type}")
 
-    sign = score(pos_pert)[1]
-    grad = jax.grad(lambda p: score(p)[0])(pos_pert)
-    return sign * grad * gui_scale
+    grad = jax.grad(score)(pos_pert)
+    return _GUIDANCE_SIGN[gui_type] * grad * gui_scale
