@@ -11,12 +11,12 @@ model's bond classes; contributes 1.5 to valence sums).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, Iterable, List, Optional, Set, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
-from .periodic import ATOMIC_MASS, ELEMENTS, allowed_valences, max_valence
+from .periodic import ATOMIC_MASS, ELEMENTS, allowed_valences
 
 AROMATIC = 4
 BOND_ORDER_VALUE = {1: 1.0, 2: 2.0, 3: 3.0, AROMATIC: 1.5}

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 from typing import Iterator, List, Optional, TextIO, Union
 
-import numpy as np
-
 from .mol import Mol, MolError
 from .periodic import SYMBOL_TO_Z
 

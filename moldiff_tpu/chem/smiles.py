@@ -13,10 +13,10 @@ uniqueness/novelty/dedup metrics require.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Set, Tuple
 
 from .mol import AROMATIC, Mol
-from .periodic import ELEMENTS, ORGANIC_SUBSET
+from .periodic import ORGANIC_SUBSET
 from .sanitize import perceive_aromaticity
 
 BOND_SYMBOL = {1: "", 2: "=", 3: "#"}

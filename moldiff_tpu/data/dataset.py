@@ -18,11 +18,11 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from ..chem.mol import Mol, MolError
+from ..chem.mol import Mol
 from ..chem.sdf import read_sdf
 from .record_store import RecordReader, RecordWriter
 

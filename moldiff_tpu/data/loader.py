@@ -11,11 +11,11 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
 
-from .batching import MolBatch, pad_mols, pick_bucket
+from .batching import pad_mols, pick_bucket
 from .featurize import MolFeaturizer
 
 

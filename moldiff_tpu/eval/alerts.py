@@ -11,7 +11,7 @@ comparisons remain meaningful.
 """
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 from ..chem.mol import Mol
 from .local3d import match_paths

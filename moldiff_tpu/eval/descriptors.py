@@ -21,7 +21,7 @@ import math
 from typing import Dict, List
 
 from ..chem.mol import AROMATIC, Mol
-from ..chem.sanitize import kekulize, perceive_aromaticity, MolError
+from ..chem.sanitize import perceive_aromaticity
 
 
 # ---------------------------------------------------------------------------

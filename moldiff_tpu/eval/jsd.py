@@ -7,7 +7,7 @@ discrete) compared with scipy's jensenshannon.
 """
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict, Optional
 
 import numpy as np
 from scipy.spatial.distance import jensenshannon

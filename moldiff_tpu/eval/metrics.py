@@ -14,13 +14,11 @@ from __future__ import annotations
 
 from collections import Counter
 from multiprocessing import Pool
-from typing import Dict, List, Optional, Sequence
-
-import numpy as np
+from typing import Dict, List, Sequence
 
 from ..chem.mol import AROMATIC, Mol, MolError
 from ..chem.sanitize import reconstruct_from_generated
-from .descriptors import all_descriptors, num_rings
+from .descriptors import all_descriptors
 from .sa_score import sa_score
 
 

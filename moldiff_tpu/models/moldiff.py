@@ -19,7 +19,7 @@ w.r.t. positions inside the scan body, replacing the reference's
 """
 from __future__ import annotations
 
-from typing import Any, Callable, NamedTuple, Optional, Tuple
+from typing import Any, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

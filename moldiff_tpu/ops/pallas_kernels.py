@@ -20,7 +20,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 try:  # pallas import is TPU/CPU-interpret safe
     from jax.experimental import pallas as pl

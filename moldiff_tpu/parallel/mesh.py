@@ -10,8 +10,7 @@ slices; on a single host it is a no-op.
 """
 from __future__ import annotations
 
-import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

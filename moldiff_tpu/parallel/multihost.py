@@ -23,7 +23,6 @@ import json
 import os
 import pickle
 import shutil
-from typing import Optional
 
 import jax
 import numpy as np

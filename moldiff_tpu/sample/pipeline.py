@@ -17,7 +17,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import jax
 import numpy as np
 
-from ..chem.mol import Mol, MolError
+from ..chem.mol import MolError
 from ..chem.sanitize import reconstruct_from_generated
 from ..chem.smiles import mol_to_smiles
 from ..data.batching import DEFAULT_BUCKETS, node_mask_from_counts, unpad_arrays

@@ -20,7 +20,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import pandas as pd
 
 from moldiff_tpu.eval.jsd import counter_jsd, hist_jsd, local3d_jsd

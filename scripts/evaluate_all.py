@@ -23,11 +23,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
 import pandas as pd
 
 from moldiff_tpu.chem.mol import Mol, MolError
-from moldiff_tpu.chem.sanitize import reconstruct_from_generated, sanitize
+from moldiff_tpu.chem.sanitize import sanitize
 from moldiff_tpu.chem.sdf import read_sdf
 from moldiff_tpu.data.dataset import get_dataset
 from moldiff_tpu.eval.local3d import Local3D
