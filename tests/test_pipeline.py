@@ -194,3 +194,32 @@ class TestAromaticDecode:
         entry = classify_decoded(decoded)
         assert entry["pool"] == "finished"
         assert entry["smiles"] == "CCO"
+
+
+class TestSamplerTraj:
+    def test_sample_with_traj_chunked_matches_single(self):
+        """MolSampler.sample_with_traj through the chunked path (chunk_steps
+        set, as guided sampling configures it) must produce the same decoded
+        outputs and trajectory as the single-scan path."""
+        model = tiny_model()
+        params = model.init_params(jax.random.key(0))
+        feat = MolFeaturizer()
+        sizes = np.array([5, 6], dtype=np.int32)
+
+        single = MolSampler(model, feat, buckets=(8,), batch_size=2)
+        chunked = MolSampler(model, feat, buckets=(8,), batch_size=2,
+                             chunk_steps=4)
+        dec_s, traj_s, counts_s = single.sample_with_traj(
+            params, sizes, jax.random.key(1))
+        dec_c, traj_c, counts_c = chunked.sample_with_traj(
+            params, sizes, jax.random.key(1))
+
+        assert len(traj_s) == len(traj_c) == 3
+        for a, b in zip(traj_s, traj_c):
+            assert a.shape == b.shape  # [T+1, B, ...]
+            assert a.shape[0] == model.num_timesteps + 1
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(counts_s, counts_c)
+        for ds, dc in zip(dec_s, dec_c):
+            np.testing.assert_allclose(
+                ds["atom_pos"], dc["atom_pos"], rtol=1e-5, atol=1e-6)
