@@ -59,27 +59,44 @@ def shard_dir(outdir: str, process_id: int) -> str:
     return os.path.join(outdir, f"shard_{process_id}")
 
 
+def _sdf_sort_key(name: str):
+    """Numeric order for <idx>.sdf files; non-numeric names sort after, by
+    string, so traj/aux files can't scramble the molecule numbering."""
+    stem = os.path.splitext(name)[0]
+    try:
+        return (0, int(stem), "")
+    except ValueError:
+        return (1, 0, stem)
+
+
 def merge_shards(outdir: str, remove: bool = False) -> dict:
     """Merge ``shard_*`` subdirectories (the per-process sampling outputs)
     into the single-host output layout:
 
       SMILES.txt           concatenated (shard order, then line order)
-      sdf/<idx>.sdf        renumbered globally
+      SDF/<idx>.sdf        renumbered globally (uppercase: matches the
+                           sample CLI layout that scripts/evaluate_all.py
+                           globs)
       samples_all.pkl      pools concatenated
       meta.json            per-shard provenance
+
+    Shard dirs and sdf files are ordered NUMERICALLY (shard_10 after
+    shard_2; 10.sdf after 2.sdf) so the renumbered SDFs line up with the
+    concatenated SMILES.txt line order.
 
     Returns the merged pool dict.
     """
     shards = sorted(
-        d for d in os.listdir(outdir)
-        if d.startswith("shard_") and os.path.isdir(os.path.join(outdir, d))
+        (d for d in os.listdir(outdir)
+         if d.startswith("shard_") and os.path.isdir(os.path.join(outdir, d))),
+        key=lambda d: int(d.split("_")[1]),
     )
     if not shards:
         raise FileNotFoundError(f"no shard_* dirs under {outdir}")
 
     merged = {"finished": [], "failed": []}
     smiles_lines = []
-    sdf_out = os.path.join(outdir, "sdf")
+    sdf_out = os.path.join(outdir, "SDF")
     os.makedirs(sdf_out, exist_ok=True)
     idx = 0
     meta = []
@@ -98,9 +115,8 @@ def merge_shards(outdir: str, remove: bool = False) -> dict:
         if not os.path.isdir(shard_sdf):
             shard_sdf = os.path.join(sdir, "SDF")  # sample CLI layout
         if os.path.isdir(shard_sdf):
-            for name in sorted(os.listdir(shard_sdf)):
-                if not name.endswith(".sdf"):
-                    continue
+            names = [n for n in os.listdir(shard_sdf) if n.endswith(".sdf")]
+            for name in sorted(names, key=_sdf_sort_key):
                 shutil.copyfile(
                     os.path.join(shard_sdf, name),
                     os.path.join(sdf_out, f"{idx}.sdf"),

@@ -24,9 +24,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def newest_ckpt(logdir: str, prefix: str) -> str:
+    def key(p):
+        # mtime first; iteration number breaks ties. Non-numeric names
+        # (best.ckpt, final.ckpt) fall back to mtime-only ordering.
+        stem = os.path.splitext(os.path.basename(p))[0]
+        it = int(stem) if stem.isdigit() else -1
+        return (os.path.getmtime(p), it)
+
     pats = sorted(
         glob.glob(os.path.join(logdir, f"{prefix}*", "checkpoints", "*.ckpt")),
-        key=lambda p: (os.path.getmtime(p), int(os.path.splitext(os.path.basename(p))[0])),
+        key=key,
     )
     if not pats:
         raise FileNotFoundError(f"no checkpoints under {logdir}/{prefix}*")

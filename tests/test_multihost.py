@@ -67,9 +67,35 @@ def test_merge_shards(tmp_path):
     assert (tmp_path / "SMILES.txt").read_text().splitlines() == [
         "CCO", "CCC", "CNC"
     ]
-    sdfs = sorted(os.listdir(tmp_path / "sdf"))
+    # merged SDFs go to uppercase 'SDF/' — the layout evaluate_all.py globs
+    sdfs = sorted(os.listdir(tmp_path / "SDF"))
     assert sdfs == ["0.sdf", "1.sdf", "2.sdf"]
     assert (tmp_path / "meta.json").exists()
+
+
+def test_merge_shards_numeric_order(tmp_path):
+    """>=10 sdf files per shard and >=10 shards: merge must order shard dirs
+    and sdf files numerically so SDF/<idx>.sdf lines up with SMILES.txt."""
+    nproc, per = 11, 12
+    expect = []
+    for pid in range(nproc):
+        sdir = tmp_path / f"shard_{pid}"
+        (sdir / "SDF").mkdir(parents=True)
+        smiles = [f"SMI_{pid}_{k}" for k in range(per)]
+        expect.extend(smiles)
+        (sdir / "SMILES.txt").write_text("\n".join(smiles) + "\n")
+        for k in range(per):
+            (sdir / "SDF" / f"{k}.sdf").write_text(f"mol {pid}/{k}\n")
+        with open(sdir / "samples_all.pkl", "wb") as f:
+            pickle.dump({"finished": [{"smiles": s} for s in smiles],
+                         "failed": []}, f)
+    multihost.merge_shards(str(tmp_path))
+    got_smiles = (tmp_path / "SMILES.txt").read_text().splitlines()
+    assert got_smiles == expect
+    for idx, smi in enumerate(expect):
+        pid, k = smi.split("_")[1:]
+        content = (tmp_path / "SDF" / f"{idx}.sdf").read_text()
+        assert content == f"mol {pid}/{k}\n", (idx, smi, content)
 
 
 _WORKER = r"""
