@@ -157,6 +157,11 @@ class Mol:
         a = self.atoms[i]
         if a.num_explicit_h is not None:
             return a.num_explicit_h
+        if a.aromatic and a.z in (8, 16) and self.degree(i) == 2:
+            # divalent aromatic heteroatoms (furan O, thiophene S): the
+            # kekulized valence is 2 and they carry no H; the 1.5-per-
+            # aromatic-bond sum would round up to 3 and give S a spurious H
+            return 0
         v = self.valence_sum(i)
         v_int = int(np.ceil(v - 1e-9))
         for allowed in allowed_valences(a.z, a.charge):

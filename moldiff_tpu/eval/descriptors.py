@@ -159,63 +159,15 @@ def _tpsa_o(mol: Mol, i: int) -> float:
 
 
 # ---------------------------------------------------------------------------
-# logP (coarse Wildman-Crippen)
+# logP (full Wildman-Crippen 68-type table, eval/crippen.py)
 # ---------------------------------------------------------------------------
 
-_HETERO = {7, 8, 9, 15, 16, 17, 35, 53}
-
-
 def crippen_logp(mol: Mol) -> float:
-    """Coarse Wildman & Crippen 1999 contributions: major atom classes only
-    (aromatic/aliphatic C split by heteroatom attachment, N/O environment
-    classes, halogens, S, P) plus hydrogen contributions."""
-    perceive_aromaticity(mol)
-    total = 0.0
-    for i, a in enumerate(mol.atoms):
-        h = _h_count(mol, i)
-        nbz = [mol.atoms[j].z for j in mol.neighbors(i)]
-        het = any(z in _HETERO for z in nbz)
-        orders = _bond_orders(mol, i)
-        if a.z == 6:
-            if a.aromatic:
-                total += 0.1129 if het else 0.1581
-            else:
-                total += -0.2035 if het else 0.1441
-            total += h * 0.1230  # H attached to C
-        elif a.z == 7:
-            if a.aromatic:
-                total += -0.3239
-            elif 2 in orders or 3 in orders:
-                total += -0.3396
-            else:
-                total += -1.0190 if h > 0 else -0.3187
-            total += h * -0.2677
-        elif a.z == 8:
-            if a.aromatic:
-                total += 0.1552
-            elif 2 in orders:
-                total += -0.1526  # carbonyl
-            elif h > 0:
-                total += -0.3567  # hydroxyl
-            else:
-                total += -0.2893  # ether
-            total += h * -0.2677
-        elif a.z == 9:
-            total += 0.4202
-        elif a.z == 17:
-            total += 0.6895
-        elif a.z == 35:
-            total += 0.8456
-        elif a.z == 53:
-            total += 0.8857
-        elif a.z == 16:
-            total += 0.6482
-            total += h * -0.2677
-        elif a.z == 15:
-            total += 0.8612
-        else:
-            total += h * 0.1230
-    return total
+    """Wildman & Crippen 1999 logP with the full published SMARTS atom-type
+    table (eval/crippen.py; golden-tested against RDKit MolLogP values)."""
+    from .crippen import logp
+
+    return logp(mol)
 
 
 # ---------------------------------------------------------------------------
@@ -266,7 +218,7 @@ def qed(mol: Mol) -> float:
         "PSA": tpsa(mol),
         "ROTB": num_rotatable_bonds(mol),
         "AROM": num_aromatic_rings(mol),
-        # structural alerts subset (eval/alerts.py), not the full Brenk set
+        # Brenk-style structural alerts (eval/alerts.py, SMARTS engine)
         "ALERTS": num_alerts(mol),
     }
     num = 0.0

@@ -63,31 +63,11 @@ def frags_counts(mol: Mol) -> Dict[str, int]:
 
 
 def groups_counts(mol: Mol) -> Dict[str, int]:
-    """Common functional-group counts via graph patterns (reference :86-94
-    uses SMARTS; here explicit neighborhood tests)."""
-    out = Counter()
-    for i, a in enumerate(mol.atoms):
-        nbs = [(mol.atoms[j].z, mol.bonds[mol._adj[i][j]].order)
-               for j in mol.neighbors(i)]
-        if a.z == 8 and (6, 2) in nbs:       # C=O carbonyl (centered on O)
-            out["carbonyl"] += 1
-        if a.z == 8 and mol.implicit_h(i) >= 1 and not a.aromatic:
-            out["hydroxyl"] += 1
-        if a.z == 7 and mol.implicit_h(i) >= 1 and not a.aromatic:
-            out["amine"] += 1
-        if a.z == 7 and (6, 3) in nbs:
-            out["nitrile"] += 1
-        if a.z == 6 and (8, 2) in nbs and any(z == 8 and o == 1 for z, o in nbs):
-            out["carboxyl_ester"] += 1
-        if a.z == 6 and (8, 2) in nbs and any(z == 7 and o == 1 for z, o in nbs):
-            out["amide"] += 1
-        if a.z == 16 and sum(1 for z, o in nbs if z == 8 and o == 2) >= 2:
-            out["sulfonyl"] += 1
-        if a.z == 9:
-            out["fluoro"] += 1
-        if a.z == 17:
-            out["chloro"] += 1
-    return dict(out)
+    """The reference's 21 fr_* functional-group counts (utils/evaluation.py
+    :86-94), via the first-party SMARTS engine (eval/fragments.py)."""
+    from .fragments import groups_counts as _fr
+
+    return _fr(mol)
 
 
 def ring_topo(mol: Mol) -> Dict[str, float]:

@@ -9,10 +9,11 @@ The fragment score needs a fragment-frequency table over a large compound
 DB; the reference ships RDKit's precomputed `fpscores` keyed by RDKit Morgan
 bits, which cannot be reused with a different fingerprint implementation.
 Here the table is *buildable from any dataset* (``FragmentScorer.fit`` —
-log-decile scoring exactly like Ertl's procedure); with no table fitted the
-fragment term is 0 and the score reduces to the complexity penalties
-(size/ring/macrocycle), which is still a useful relative ranking and is
-applied identically to all compared methods.
+log-decile scoring exactly like Ertl's procedure). A fitted table for the
+synthetic training corpus SHIPS with the package
+(eval/data/fragment_scores_synthetic.pkl, the analogue of the reference's
+fpscores artifact) and loads as the default; refit per dataset with
+scripts/build_fragment_scores.py.
 """
 from __future__ import annotations
 
@@ -32,10 +33,13 @@ class FragmentScorer:
 
     @classmethod
     def fit(cls, mols: Iterable[Mol], radius: int = 2) -> "FragmentScorer":
-        """Ertl's procedure: count radius-2 fragments over the corpus, then
-        score = log10(count / count_of_80th_percentile-ish) clipped — we use
-        the published variant: score_i = log10(f_i) - log10(f_max) shifted so
-        the most common fragments score ~0 and rare ones negative."""
+        """Ertl's procedure (2009, sec. 'fragment score'): count radius-2
+        fragments over the corpus, anchor at the count of the fragment where
+        the sorted cumulative occurrence reaches 80% of all occurrences, and
+        score each fragment log10(count / anchor), clipped to [-4, 4].
+        Fragments common enough to cover the bulk of the corpus score >= 0
+        (easy), rare ones negative (hard) — the same shape as the shipped
+        RDKit fpscores table."""
         counts: Dict[int, int] = {}
         for mol in mols:
             for ident, c in morgan_fragments(mol, radius).items():
@@ -43,12 +47,18 @@ class FragmentScorer:
         if not counts:
             return cls({})
         total = sum(counts.values())
-        scores = {}
-        for ident, c in counts.items():
-            scores[ident] = math.log10(c / total * 1e4 + 1e-10)
-        # normalize: shift so the top fragment scores ~0.5 like fpscores
-        mx = max(scores.values())
-        scores = {k: min(v - mx + 0.5, 0.5) for k, v in scores.items()}
+        anchor = None
+        cum = 0
+        for c in sorted(counts.values(), reverse=True):
+            cum += c
+            if cum >= 0.8 * total:
+                anchor = c
+                break
+        anchor = max(anchor or 1, 1)
+        scores = {
+            ident: float(min(4.0, max(-4.0, math.log10(c / anchor))))
+            for ident, c in counts.items()
+        }
         return cls(scores)
 
     def save(self, path: str) -> None:
@@ -72,7 +82,24 @@ class FragmentScorer:
         return total / nf
 
 
-_DEFAULT_SCORER = FragmentScorer()
+_DEFAULT_SCORER: Optional[FragmentScorer] = None
+
+# shipped table fitted on the synthetic training corpus (the analogue of the
+# reference's fpscores.pkl.gz, fitted on PubChem); scripts/
+# build_fragment_scores.py refits for any other dataset
+_SHIPPED_TABLE = __file__.rsplit("/", 1)[0] + "/data/fragment_scores_synthetic.pkl"
+
+
+def _default_scorer() -> FragmentScorer:
+    global _DEFAULT_SCORER
+    if _DEFAULT_SCORER is None:
+        import os
+
+        if os.path.exists(_SHIPPED_TABLE):
+            _DEFAULT_SCORER = FragmentScorer.load(_SHIPPED_TABLE)
+        else:  # pragma: no cover - shipped artifact missing
+            _DEFAULT_SCORER = FragmentScorer()
+    return _DEFAULT_SCORER
 
 
 def set_default_fragment_scorer(scorer: FragmentScorer) -> None:
@@ -82,7 +109,7 @@ def set_default_fragment_scorer(scorer: FragmentScorer) -> None:
 
 def sa_score(mol: Mol, scorer: Optional[FragmentScorer] = None) -> float:
     """Ertl SA score in [1 (easy), 10 (hard)]."""
-    scorer = scorer or _DEFAULT_SCORER
+    scorer = scorer or _default_scorer()
     n = mol.num_atoms
     if n == 0:
         return 10.0

@@ -383,7 +383,13 @@ class MolDiff:
 
             if guidance is not None:
                 gui_type, gui_scale = guidance
-                if gui_scale > 0:
+                # a python-float scale <= 0 disables guidance statically; a
+                # traced scale (scale sweeps reuse ONE compile) always takes
+                # the guided path — the delta is just multiplied by it
+                static_off = (
+                    isinstance(gui_scale, (int, float)) and gui_scale <= 0
+                )
+                if not static_off:
                     def apply_guidance(pos_prev_in):
                         delta = _bond_guidance_delta(
                             bond_predictor,
@@ -465,14 +471,20 @@ class MolDiff:
             jnp.zeros((b, e, self.num_edge_types)),
         )
 
-        cache_key = (b, n, chunk_size, guidance, bond_predictor is not None,
+        # the guidance SCALE is a runtime argument of the compiled chunk (not
+        # a closure constant), so scale sweeps hit one compile per type
+        gui_type = guidance[0] if guidance is not None else None
+        gui_scale = float(guidance[1]) if guidance is not None else 0.0
+        cache_key = (b, n, chunk_size, gui_type, bond_predictor is not None,
                      guidance_interval, save_traj)
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
         if cache_key not in self._chunk_fns:
-            def chunk_fn(params, node_mask, carry, steps):
+            def chunk_fn(params, node_mask, carry, steps, scale):
                 body = self._make_scan_body(
-                    params, node_mask, guidance, bond_predictor,
+                    params, node_mask,
+                    (gui_type, scale) if gui_type is not None else None,
+                    bond_predictor,
                     save_traj=save_traj,
                     guidance_interval=guidance_interval,
                 )
@@ -496,9 +508,10 @@ class MolDiff:
         init_state = (h_node, pos, h_halfedge)
         all_steps = np.arange(T - 1, -1, -1)
         traj_chunks = []
+        scale_arr = jnp.float32(gui_scale)
         for c in range(T // chunk_size):
             steps = jnp.asarray(all_steps[c * chunk_size:(c + 1) * chunk_size])
-            carry, ys = fn(params, node_mask, carry, steps)
+            carry, ys = fn(params, node_mask, carry, steps, scale_arr)
             if save_traj:
                 # pull each chunk's stacked states to host so device memory
                 # stays bounded by one chunk
@@ -556,7 +569,7 @@ class MolDiff:
 
             if guidance is not None:
                 gui_type, gui_scale = guidance
-                if gui_scale > 0:
+                if not (isinstance(gui_scale, (int, float)) and gui_scale <= 0):
                     halfedge_type_prev = jnp.argmax(h_halfedge_prev, axis=-1)
                     delta = _bond_guidance_delta(
                         bond_predictor, gui_type, gui_scale,

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..chem.mol import MolError
@@ -48,6 +49,10 @@ class MolSampler:
         self.featurizer = featurizer
         self.bond_predictor = bond_predictor
         self.guidance = guidance
+        # the guidance scale is a RUNTIME argument of the compiled chains
+        # (models/moldiff.py scan body), so sweeping it never recompiles;
+        # mutate via set_guidance_scale between generate() calls
+        self._gui_scale = float(guidance[1]) if guidance is not None else 0.0
         self.buckets = tuple(sorted(buckets))
         self.batch_size = batch_size
         self.size_mean = size_mean
@@ -68,6 +73,25 @@ class MolSampler:
                 f"batch_size {batch_size} must divide mesh size {mesh.size}"
             )
         self._compiled: Dict[int, callable] = {}
+        # device-side trajectory gather: select k molecules out of the batch
+        # BEFORE the host transfer, so saving trajectories for the Bernoulli
+        # 2% doesn't pull the full [T+1, B, ...] stack over the wire. jit
+        # re-specializes per (bucket, k) shape; k is padded to a power of two
+        # to bound the compile count at log2(B) per bucket.
+        self._traj_gather = jax.jit(
+            lambda traj, idx: jax.tree.map(
+                lambda y: jnp.take(y, idx, axis=1), traj
+            )
+        )
+
+    def set_guidance_scale(self, scale: float) -> None:
+        """Change the guidance scale for subsequent calls WITHOUT recompiling
+        (the scale is a runtime argument of the compiled chains). The
+        guidance type stays fixed per sampler."""
+        if self.guidance is None:
+            raise ValueError("sampler was built without guidance")
+        self._gui_scale = float(scale)
+        self.guidance = (self.guidance[0], float(scale))
 
     def _sample_fn(self, n_bucket: int, save_traj: bool = False):
         cache_key = (n_bucket, save_traj)
@@ -80,9 +104,13 @@ class MolSampler:
                 data = batch_sharding(self.mesh) if self.mesh is not None else None
 
                 def fn(params, node_mask, key):
+                    guidance = (
+                        (self.guidance[0], self._gui_scale)
+                        if self.guidance is not None else None
+                    )
                     res = self.model.sample_chunked(
                         params, node_mask, key, chunk_size=self.chunk_steps,
-                        guidance=self.guidance,
+                        guidance=guidance,
                         bond_predictor=self.bond_predictor,
                         data_sharding=data,
                         guidance_interval=self.guidance_interval,
@@ -93,10 +121,40 @@ class MolSampler:
                 self._compiled[cache_key] = fn
                 return fn
 
+            if self.mesh is not None:
+                rep = replicated(self.mesh)
+                data = batch_sharding(self.mesh)
+                jit_kw = {"in_shardings": (rep, data, rep, rep)}
+            else:
+                jit_kw = {}
+
+            if self.guidance is not None:
+                gtype = self.guidance[0]
+
+                def fn4(params, node_mask, key, gui_scale):
+                    res = self.model.sample(
+                        params, node_mask, key,
+                        guidance=(gtype, gui_scale),
+                        bond_predictor=self.bond_predictor,
+                        save_traj=save_traj,
+                        guidance_interval=self.guidance_interval,
+                    )
+                    return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
+
+                jfn = jax.jit(fn4, **jit_kw)
+
+                def fn(params, node_mask, key):
+                    return jfn(
+                        params, node_mask, key, jnp.float32(self._gui_scale)
+                    )
+
+                self._compiled[cache_key] = fn
+                return fn
+
             def fn(params, node_mask, key):
                 res = self.model.sample(
                     params, node_mask, key,
-                    guidance=self.guidance,
+                    guidance=None,
                     bond_predictor=self.bond_predictor,
                     save_traj=save_traj,
                     guidance_interval=self.guidance_interval,
@@ -146,13 +204,20 @@ class MolSampler:
         return np.clip(sizes.astype(np.int64), 3, self.buckets[-1])
 
     def sample_sizes(
-        self, params, sizes: np.ndarray, key: jax.Array
-    ) -> List[dict]:
+        self, params, sizes: np.ndarray, key: jax.Array,
+        save_traj: bool = False,
+    ):
         """Run the reverse chain for molecules of the given sizes; returns
         per-molecule decoded dicts (element/pos/bond arrays, pre-sanitize).
         Sizes are grouped by bucket; each group runs in fixed-size batches
-        (padded with throwaway graphs) so compile count stays ~len(buckets)."""
+        (padded with throwaway graphs) so compile count stays ~len(buckets).
+
+        With ``save_traj`` returns ``(decoded_list, traj_refs)`` where
+        ``traj_refs[i]`` is a handle that fetches molecule i's full
+        denoising trajectory on demand (``_TrajRef.fetch()``); untouched
+        batches never transfer their [T+1, B, ...] stacks to host."""
         out: List[dict] = [None] * len(sizes)
+        traj_refs: List[Optional["_TrajRef"]] = [None] * len(sizes)
         order = np.argsort(sizes, kind="stable")
         by_bucket: Dict[int, List[int]] = {}
         for idx in order:
@@ -161,7 +226,7 @@ class MolSampler:
             by_bucket.setdefault(b, []).append(int(idx))
 
         for n_bucket, idxs in sorted(by_bucket.items()):
-            fn = self._sample_fn(n_bucket)
+            fn = self._sample_fn(n_bucket, save_traj=save_traj)
             for start in range(0, len(idxs), self.batch_size):
                 chunk = idxs[start:start + self.batch_size]
                 counts = np.array([sizes[i] for i in chunk], dtype=np.int32)
@@ -171,7 +236,9 @@ class MolSampler:
                     counts = np.concatenate([counts, np.full(pad, 3, np.int32)])
                 node_mask = node_mask_from_counts(counts, n_bucket)
                 key, k = jax.random.split(key)
-                pred_node, pred_pos, pred_halfedge, _ = fn(params, node_mask, k)
+                pred_node, pred_pos, pred_halfedge, traj = fn(
+                    params, node_mask, k
+                )
                 per_mol = unpad_arrays(
                     {
                         "pred_node": np.asarray(pred_node),
@@ -180,11 +247,16 @@ class MolSampler:
                     },
                     counts,
                 )
+                batch_ref = _TrajBatch(self, traj, counts) if save_traj else None
                 for local_i, global_i in enumerate(chunk):
                     p = per_mol[local_i]
                     out[global_i] = self.featurizer.decode_output(
                         p["pred_node"], p["pred_pos"], p["pred_halfedge"]
                     )
+                    if save_traj:
+                        traj_refs[global_i] = _TrajRef(batch_ref, local_i)
+        if save_traj:
+            return out, traj_refs
         return out
 
     def generate(
@@ -196,14 +268,22 @@ class MolSampler:
         max_failures_factor: int = 3,
         batch_graphs: Optional[int] = None,
         logger=None,
+        traj_prob: float = 0.0,
     ) -> Dict[str, list]:
         """Generate until `num_mols` valid molecules (reference
         scripts/sample_drug3d.py:100-170). Returns pool dict with entries
         {mol, smiles, decoded} under 'finished' and {decoded, reason} under
-        'failed'."""
+        'failed'.
+
+        ``traj_prob``: each FINISHED molecule independently keeps its full
+        denoising trajectory with this probability (reference per-molecule
+        Bernoulli(save_traj_prob), scripts/sample_drug3d.py:156-170) — the
+        entry gains a 'traj' dict of [T+1, n]/[T+1, e] arrays. A 10k-mol run
+        at 0.02 therefore saves ~200 trajectories, not a fixed cap."""
         rng = rng or np.random.default_rng(0)
         batch_graphs = batch_graphs or self.batch_size
         pool = {"finished": [], "failed": []}
+        save_traj = traj_prob > 0.0
         while len(pool["finished"]) < num_mols:
             if len(pool["failed"]) > max_failures_factor * num_mols:
                 if logger:
@@ -211,9 +291,32 @@ class MolSampler:
                 break
             sizes = self.draw_sizes(batch_graphs, rng)
             key, k = jax.random.split(key)
-            decoded_list = self.sample_sizes(params, sizes, k)
-            for decoded in decoded_list:
+            if save_traj:
+                decoded_list, traj_refs = self.sample_sizes(
+                    params, sizes, k, save_traj=True
+                )
+            else:
+                decoded_list = self.sample_sizes(params, sizes, k)
+                traj_refs = [None] * len(decoded_list)
+            entries = []
+            want_traj: List[Tuple[dict, "_TrajRef"]] = []
+            for decoded, ref in zip(decoded_list, traj_refs):
                 entry = classify_decoded(decoded, add_edge=self.add_edge)
+                entries.append(entry)
+                if (
+                    entry["pool"] == "finished"
+                    and save_traj
+                    and rng.random() < traj_prob
+                ):
+                    want_traj.append((entry, ref))
+            # fetch all selected trajectories batch-wise (one device gather
+            # + host transfer per touched batch, selected molecules only)
+            for batch in {ref.batch for _, ref in want_traj}:
+                batch.prefetch([r.local_i for e, r in want_traj
+                                if r.batch is batch])
+            for entry, ref in want_traj:
+                entry["traj"] = ref.fetch()
+            for entry in entries:
                 pool[entry["pool"]].append(entry)
             if logger:
                 logger.info(
@@ -222,6 +325,57 @@ class MolSampler:
                 )
         pool["finished"] = pool["finished"][:num_mols]
         return pool
+
+
+class _TrajBatch:
+    """Lazily-fetched trajectories of one sampled batch.
+
+    Holds the stacked (node, pos, halfedge) trajectory of a whole batch —
+    device arrays on the single-scan path, host numpy on the chunked path —
+    and fetches only the requested molecules. Device-side selection pads the
+    index list to the next power of two so the gather jit compiles at most
+    log2(B) times per bucket."""
+
+    def __init__(self, sampler: "MolSampler", traj, counts: np.ndarray):
+        self.sampler = sampler
+        self.traj = traj
+        self.counts = counts
+        self._fetched: Dict[int, dict] = {}
+
+    def prefetch(self, local_idxs: Sequence[int]) -> None:
+        from ..data.batching import split_trajectories
+
+        idxs = sorted(set(local_idxs) - set(self._fetched))
+        if not idxs:
+            return
+        sel = np.asarray(idxs, dtype=np.int32)
+        if isinstance(self.traj[0], np.ndarray):
+            sub = tuple(t[:, sel] for t in self.traj)
+        else:
+            k_pad = 1 << max(0, int(len(sel) - 1).bit_length())
+            idx_dev = jnp.asarray(
+                np.pad(sel, (0, k_pad - len(sel))), dtype=jnp.int32
+            )
+            sub = jax.device_get(self.sampler._traj_gather(self.traj, idx_dev))
+            sub = tuple(t[:, : len(sel)] for t in sub)
+        per_mol = split_trajectories(sub, self.counts[sel])
+        for i, tr in zip(idxs, per_mol):
+            self._fetched[i] = tr
+
+    def fetch(self, local_i: int) -> dict:
+        self.prefetch([local_i])
+        return self._fetched[local_i]
+
+
+class _TrajRef:
+    """Handle to one molecule's trajectory inside a `_TrajBatch`."""
+
+    def __init__(self, batch: _TrajBatch, local_i: int):
+        self.batch = batch
+        self.local_i = local_i
+
+    def fetch(self) -> dict:
+        return self.batch.fetch(self.local_i)
 
 
 def classify_decoded(decoded: dict, add_edge: Optional[str] = None) -> dict:

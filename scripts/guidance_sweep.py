@@ -1,0 +1,145 @@
+"""Guidance-scale sweep: one denoiser/bond-predictor checkpoint pair, many
+guidance scales, success rates with Wilson CIs and failure-mode histograms.
+
+The guidance scale is a runtime argument of the compiled chain
+(moldiff_tpu/sample/pipeline.py set_guidance_scale), so the whole sweep pays
+ONE guided compile. Reference guidance: /root/reference/models/model.py:309-362,
+configs/sample/sample_MolDiff.yml (uncertainty, 1e-4).
+
+Usage:
+  python scripts/guidance_sweep.py --ckpt logs/.../20000.ckpt \
+      --bp_ckpt logs/.../80000.ckpt --scales 1e-5,3e-5,1e-4,3e-4 \
+      [--mode uncertainty] [--num_mols 1000] [--out sweep.json]
+"""
+from __future__ import annotations
+
+import argparse
+import collections
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def wilson_ci(k: int, n: int, z: float = 1.96):
+    """95% Wilson score interval for a binomial proportion."""
+    if n == 0:
+        return (0.0, 1.0)
+    p = k / n
+    denom = 1 + z * z / n
+    center = (p + z * z / (2 * n)) / denom
+    half = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)) / denom
+    return (max(0.0, center - half), min(1.0, center + half))
+
+
+def run_pool(sampler, params, num_mols, seed, logger=None):
+    import jax
+
+    pool = sampler.generate(
+        params, num_mols, jax.random.key(seed),
+        rng=np.random.default_rng(seed), logger=logger,
+    )
+    n_fin, n_fail = len(pool["finished"]), len(pool["failed"])
+    total = n_fin + n_fail
+    reasons = collections.Counter(e["reason"] for e in pool["failed"])
+    lo, hi = wilson_ci(n_fin, total)
+    return {
+        "finished": n_fin, "failed": n_fail,
+        "success": n_fin / max(total, 1),
+        "ci95": [round(lo, 4), round(hi, 4)],
+        "failure_modes": dict(reasons),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--bp_ckpt", required=True)
+    ap.add_argument("--mode", default="uncertainty")
+    ap.add_argument("--scales", default="1e-5,3e-5,1e-4")
+    ap.add_argument("--num_mols", type=int, default=1000)
+    ap.add_argument("--batch_size", type=int, default=128)
+    ap.add_argument("--seed", type=int, default=2023)
+    ap.add_argument("--size_mean", type=float, default=18.0)
+    ap.add_argument("--size_std", type=float, default=5.0)
+    ap.add_argument("--skip_unguided", action="store_true")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    from moldiff_tpu.models.bond_predictor import BondPredictor
+    from moldiff_tpu.models.moldiff import MolDiff
+    from moldiff_tpu.sample.pipeline import MolSampler
+    from moldiff_tpu.train.trainer import load_checkpoint
+    from moldiff_tpu.utils.config import Config
+    from moldiff_tpu.utils.misc import get_logger
+    from sample_drug3d import featurizer_from_config
+
+    logger = get_logger("sweep")
+    ckpt = load_checkpoint(args.ckpt)
+    train_config = Config(ckpt["config"])
+    train_config.model.denoiser["remat"] = False
+    featurizer = featurizer_from_config(train_config)
+    model = MolDiff(train_config.model,
+                    num_node_types=featurizer.num_node_types,
+                    num_edge_types=featurizer.num_edge_types)
+    params = jax.device_put(ckpt["params"])
+
+    bp_ckpt = load_checkpoint(args.bp_ckpt)
+    bp_config = Config(bp_ckpt["config"])
+    bp_config.model.encoder["remat"] = True
+    bp = BondPredictor(bp_config.model,
+                       num_node_types=featurizer.num_node_types,
+                       num_edge_types=featurizer.num_bond_types + 1)
+    bond_predictor = (bp, jax.device_put(bp_ckpt["params"]))
+
+    T = model.num_timesteps
+    chunk = next(c for c in (100, 50, 25, 20, 10, 5, 1) if T % c == 0)
+    common = dict(batch_size=args.batch_size, size_mean=args.size_mean,
+                  size_std=args.size_std)
+    results = {"ckpt": args.ckpt, "bp_ckpt": args.bp_ckpt,
+               "ckpt_step": ckpt["step"], "mode": args.mode,
+               "num_mols": args.num_mols, "seed": args.seed, "runs": {}}
+
+    if not args.skip_unguided:
+        t0 = time.time()
+        sampler = MolSampler(model, featurizer, **common)
+        r = run_pool(sampler, params, args.num_mols, args.seed, logger)
+        r["wall_s"] = round(time.time() - t0, 1)
+        results["runs"]["unguided"] = r
+        logger.info(f"unguided: {r}")
+
+    scales = [float(s) for s in args.scales.split(",") if s]
+    sampler = MolSampler(
+        model, featurizer, bond_predictor=bond_predictor,
+        guidance=(args.mode, scales[0]), chunk_steps=chunk, **common,
+    )
+    for s in scales:
+        sampler.set_guidance_scale(s)
+        t0 = time.time()
+        r = run_pool(sampler, params, args.num_mols, args.seed, logger)
+        r["wall_s"] = round(time.time() - t0, 1)
+        results["runs"][f"{args.mode}@{s:g}"] = r
+        logger.info(f"{args.mode}@{s:g}: {r}")
+
+    out = args.out or f"sweep_{os.path.basename(args.ckpt)}.json"
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    logger.info(f"wrote {out}")
+    # markdown summary
+    print("\n| setting | success | 95% CI | failures |")
+    print("|---|---|---|---|")
+    for name, r in results["runs"].items():
+        print(f"| {name} | {r['success']:.3f} | [{r['ci95'][0]:.3f}, "
+              f"{r['ci95'][1]:.3f}] | {r['failure_modes']} |")
+    return results
+
+
+if __name__ == "__main__":
+    main()

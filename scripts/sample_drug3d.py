@@ -41,6 +41,31 @@ def featurizer_from_config(cfg: Config) -> MolFeaturizer:
     )
 
 
+def write_trajectory_sdf(featurizer, traj: dict, path: str) -> None:
+    """Decode + reconstruct every reverse step of one molecule's trajectory
+    and write a multi-entry SDF (reference scripts/sample_drug3d.py:158-170:
+    per-step decode_output -> loose reconstruct, placeholder on failure)."""
+    from moldiff_tpu.chem.mol import Mol, MolError
+    from moldiff_tpu.chem.sanitize import reconstruct_from_generated
+
+    placeholder = Mol.from_arrays([8], pos=np.zeros((1, 3)))  # single O atom
+    mols = []
+    for t in range(traj["node"].shape[0]):
+        decoded = featurizer.decode_output(
+            traj["node"][t], traj["pos"][t], traj["halfedge"][t]
+        )
+        try:
+            mols.append(
+                reconstruct_from_generated(
+                    decoded["element"], decoded["atom_pos"],
+                    decoded.get("bond_index"), decoded.get("bond_type"),
+                )
+            )
+        except MolError:
+            mols.append(placeholder)
+    write_sdf(mols, path, names=[f"step_{t}" for t in range(len(mols))])
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
@@ -181,9 +206,14 @@ def main(argv=None):
             f"[{start}, {stop}) -> {num_mols} molecules"
         )
 
+    # per-molecule Bernoulli trajectory saving across the whole pool
+    # (reference save_traj_prob, scripts/sample_drug3d.py:156-170)
+    traj_prob = float(config.sample.get("save_traj_prob", 0) or 0)
+
     t0 = time.time()
     pool = sampler.generate(
-        params, num_mols, key, rng=rng, batch_graphs=batch_size, logger=logger
+        params, num_mols, key, rng=rng, batch_graphs=batch_size, logger=logger,
+        traj_prob=traj_prob,
     )
     dt = time.time() - t0
     n_fin = len(pool["finished"])
@@ -201,26 +231,25 @@ def main(argv=None):
             f"success {tot_fin / max(tot_fin + tot_fail, 1):.3f}"
         )
 
-    # denoising trajectories for a few molecules (reference save_traj_prob,
-    # scripts/sample_drug3d.py:166-170)
-    traj_prob = float(config.sample.get("save_traj_prob", 0) or 0)
-    if traj_prob > 0:
-        n_traj = max(1, min(4, int(traj_prob * num_mols)))
-        sizes = sampler.draw_sizes(n_traj, rng)
-        key, k = jax.random.split(key)
-        decoded_t, traj, counts = sampler.sample_with_traj(params, sizes, k)
-        from moldiff_tpu.data.batching import split_trajectories
-
-        per_mol = split_trajectories(traj, counts)
-        with open(os.path.join(out_dir, "trajectories.pkl"), "wb") as f:
-            pickle.dump({"decoded": decoded_t, "trajectories": per_mol}, f)
-        logger.info(f"saved {n_traj} trajectories")
-
     with open(os.path.join(out_dir, "SMILES.txt"), "w") as f:
         for e in pool["finished"]:
             f.write(e["smiles"] + "\n")
+    n_traj = 0
     for k, e in enumerate(pool["finished"]):
         write_sdf([e["mol"]], os.path.join(sdf_dir, f"{k}.sdf"))
+        if "traj" in e:
+            # traj_<idx>.sdf: one entry per reverse step, loosely
+            # reconstructed; failures fall back to a placeholder molecule
+            # (reference scripts/sample_drug3d.py:158-170, 184-189)
+            write_trajectory_sdf(
+                featurizer, e["traj"], os.path.join(sdf_dir, f"traj_{k}.sdf")
+            )
+            n_traj += 1
+    if traj_prob > 0:
+        logger.info(
+            f"saved {n_traj} trajectories "
+            f"(Bernoulli {traj_prob} over {len(pool['finished'])} finished)"
+        )
     with open(os.path.join(out_dir, "samples_all.pkl"), "wb") as f:
         pickle.dump(
             {

@@ -98,7 +98,7 @@ class TestEndToEnd:
         sample_cfg = {
             "model": {"checkpoint": sorted(ckpts)[-1]},
             "sample": {"seed": 0, "batch_size": 8, "num_mols": 2,
-                       "save_traj_prob": 0.0},
+                       "save_traj_prob": 1.0},
         }
         scfg_path = str(tmp_path / "sample.yml")
         with open(scfg_path, "w") as f:
@@ -118,6 +118,13 @@ class TestEndToEnd:
         assert len(blob["finished"]) + len(blob["failed"]) > 0
         if blob["finished"]:
             assert os.path.getsize(os.path.join(out_dir, "SMILES.txt")) > 0
+            # save_traj_prob=1.0 -> every finished molecule gets a
+            # traj_<idx>.sdf with one entry per reverse step
+            trajs = glob.glob(os.path.join(out_dir, "SDF", "traj_*.sdf"))
+            assert len(trajs) == len(blob["finished"])
+            with open(trajs[0]) as f:
+                n_entries = f.read().count("$$$$")
+            assert n_entries == tiny_train_cfg(root)["model"]["diff"]["num_timesteps"] + 1
 
     def test_train_bond_predictor(self, tmp_path):
         root = str(tmp_path / "data")

@@ -279,14 +279,18 @@ class TestAlerts:
 
         assert passes_alert_filter(benzene())
 
-    def test_qed_penalizes_alerts(self):
-        # peroxide-bearing molecule scores lower QED than its clean analogue
-        clean = Mol()
-        a, b, c = clean.add_atom(6), clean.add_atom(6), clean.add_atom(6)
-        clean.add_bond(a, b, 1)
-        clean.add_bond(b, c, 1)
-        dirty = Mol()
-        a, b, c = dirty.add_atom(6), dirty.add_atom(8), dirty.add_atom(8)
-        dirty.add_bond(a, b, 1)
-        dirty.add_bond(b, c, 1)
-        assert qed(dirty) < qed(clean)
+    def test_qed_penalizes_alerts(self, monkeypatch):
+        # more structural alerts must lower QED for an otherwise identical
+        # descriptor vector (isolates the ALERTS channel: across different
+        # molecules the other seven descriptors can legitimately dominate)
+        import moldiff_tpu.eval.alerts as alerts_mod
+
+        m = Mol()
+        a, b, c = m.add_atom(6), m.add_atom(6), m.add_atom(6)
+        m.add_bond(a, b, 1)
+        m.add_bond(b, c, 1)
+        monkeypatch.setattr(alerts_mod, "num_alerts", lambda mol: 0)
+        q0 = qed(m)
+        monkeypatch.setattr(alerts_mod, "num_alerts", lambda mol: 3)
+        q3 = qed(m)
+        assert q3 < q0

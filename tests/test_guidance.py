@@ -102,6 +102,63 @@ def test_zero_scale_equals_unguided(setup):
     )
 
 
+def test_dynamic_scale_matches_static(setup):
+    """The guidance scale as a TRACED runtime argument (scale sweeps reuse
+    one compile) must produce exactly the static-float-closure result."""
+    model, params, bp, bp_params, node_mask = setup
+    static = model.sample(
+        params, node_mask, jax.random.key(5),
+        guidance=("uncertainty", 1e-1), bond_predictor=(bp, bp_params),
+    )
+
+    @jax.jit
+    def dyn(scale):
+        res = model.sample(
+            params, node_mask, jax.random.key(5),
+            guidance=("uncertainty", scale), bond_predictor=(bp, bp_params),
+        )
+        return res.pred_pos
+
+    np.testing.assert_allclose(
+        np.asarray(dyn(jnp.float32(1e-1))), np.asarray(static.pred_pos),
+        atol=1e-6,
+    )
+    # a different scale through the SAME compiled fn changes the output
+    assert not np.allclose(np.asarray(dyn(jnp.float32(1e-3))),
+                           np.asarray(static.pred_pos))
+
+
+def test_sampler_scale_sweep_no_recompile(setup):
+    """MolSampler.set_guidance_scale sweeps scales through one compiled
+    chain; results match samplers built statically at each scale."""
+    from moldiff_tpu.data.featurize import MolFeaturizer
+    from moldiff_tpu.sample.pipeline import MolSampler
+
+    model, params, bp, bp_params, node_mask = setup
+    feat = MolFeaturizer()
+    sizes = np.array([5, 6], dtype=np.int64)
+
+    def fresh(scale):
+        s = MolSampler(model, feat, bond_predictor=(bp, bp_params),
+                       guidance=("uncertainty", scale), buckets=(6,),
+                       batch_size=2)
+        return s.sample_sizes(params, sizes, jax.random.key(6))
+
+    sweep = MolSampler(model, feat, bond_predictor=(bp, bp_params),
+                       guidance=("uncertainty", 1e-1), buckets=(6,),
+                       batch_size=2)
+    out_a = sweep.sample_sizes(params, sizes, jax.random.key(6))
+    sweep.set_guidance_scale(1e-3)
+    out_b = sweep.sample_sizes(params, sizes, jax.random.key(6))
+    assert len(sweep._compiled) == 1  # second scale reused the compiled fn
+
+    for ours, ref in ((out_a, fresh(1e-1)), (out_b, fresh(1e-3))):
+        for d_ours, d_ref in zip(ours, ref):
+            np.testing.assert_allclose(
+                d_ours["atom_pos"], d_ref["atom_pos"], atol=1e-6
+            )
+
+
 @pytest.mark.parametrize("mode", GUIDANCE_MODES)
 def test_delta_respects_padding(setup, mode):
     """Guidance deltas on padded atoms must not leak into real atoms, and

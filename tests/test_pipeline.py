@@ -68,6 +68,74 @@ class TestSamplerPipeline:
         for e in pool["finished"]:
             assert "smiles" in e and "." not in e["smiles"]
 
+    def test_generate_bernoulli_trajectories(self, monkeypatch):
+        """Per-molecule Bernoulli(save_traj_prob) across the pool (reference
+        scripts/sample_drug3d.py:156-170): p=1 -> every finished molecule
+        carries its full [T+1] trajectory; failed entries never do; p=0.5
+        keeps a strict subset. The classifier is stubbed so the untrained
+        tiny model still yields 'finished' entries to attach to."""
+        import moldiff_tpu.sample.pipeline as pl
+
+        real_classify = pl.classify_decoded
+        calls = {"n": 0}
+
+        def fake_classify(decoded, add_edge=None):
+            calls["n"] += 1
+            e = real_classify(decoded, add_edge=add_edge)
+            if calls["n"] % 2:  # force half the pool to 'finished'
+                e["pool"] = "finished"
+                e.setdefault("smiles", "C")
+            return e
+
+        monkeypatch.setattr(pl, "classify_decoded", fake_classify)
+        model = tiny_model()
+        params = model.init_params(jax.random.key(0))
+        T = model.num_timesteps
+
+        def run(p, mols=4):
+            sampler = MolSampler(model, MolFeaturizer(), buckets=(8,),
+                                 batch_size=8, size_mean=5.0, size_std=1.0)
+            return sampler.generate(
+                params, num_mols=mols, key=jax.random.key(2),
+                rng=np.random.default_rng(9), max_failures_factor=50,
+                batch_graphs=8, traj_prob=p,
+            )
+
+        pool = run(1.0)
+        assert len(pool["finished"]) == 4
+        for e in pool["finished"]:
+            tr = e["traj"]
+            n = tr["node"].shape[1]
+            assert tr["node"].shape[0] == T + 1
+            assert tr["pos"].shape == (T + 1, n, 3)
+            assert tr["halfedge"].shape[:2] == (T + 1, n * (n - 1) // 2)
+        for e in pool["failed"]:
+            assert "traj" not in e
+
+        calls["n"] = 0
+        pool_half = run(0.5, mols=8)
+        n_traj = sum("traj" in e for e in pool_half["finished"])
+        assert 0 < n_traj < len(pool_half["finished"])
+
+    def test_traj_prob_does_not_change_samples(self):
+        """Recording trajectories must not perturb the sampled molecules
+        (same key, single batch): finished SMILES identical with p=0/p=1."""
+        model = tiny_model()
+        params = model.init_params(jax.random.key(0))
+
+        def run(p):
+            sampler = MolSampler(model, MolFeaturizer(), buckets=(8,),
+                                 batch_size=8, size_mean=5.0, size_std=1.0)
+            pool = sampler.generate(
+                params, num_mols=1, key=jax.random.key(3),
+                rng=np.random.default_rng(5), max_failures_factor=50,
+                batch_graphs=8, traj_prob=p,
+            )
+            return [e["smiles"] for e in pool["finished"] + pool["failed"]
+                    if "smiles" in e]
+
+        assert run(0.0) == run(1.0)
+
     def test_perfect_prediction_roundtrip(self):
         """Handcrafted logits for ethanol must survive decode+reconstruct
         exactly (reference-style invariant, SURVEY.md section 4e)."""

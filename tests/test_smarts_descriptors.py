@@ -1,0 +1,287 @@
+"""Golden tests: SMARTS engine, full Crippen logP table, fr_* counters,
+Brenk-style alerts.
+
+Crippen expected values are RDKit ``Descriptors.MolLogP`` outputs computed
+offline from the published Wildman & Crippen 1999 table (the same data RDKit
+ships); the reference gets them via RDKit (`/root/reference/utils/
+scoring_func.py:28-87`). fr_* expectations are hand-derived from the RDKit
+FragmentDescriptors SMARTS on small unambiguous molecules.
+"""
+import numpy as np
+import pytest
+
+from moldiff_tpu.chem import smarts
+from moldiff_tpu.chem.mol import AROMATIC, Mol
+from moldiff_tpu.eval import crippen
+from moldiff_tpu.eval.alerts import count_alerts, num_alerts
+from moldiff_tpu.eval.fragments import fr_bicyclic, groups_counts
+
+
+# -- molecule builders -------------------------------------------------------
+
+def chain(zs, orders=None):
+    m = Mol()
+    for z in zs:
+        m.add_atom(z)
+    orders = orders or [1] * (len(zs) - 1)
+    for i, o in enumerate(orders):
+        m.add_bond(i, i + 1, o)
+    return m
+
+
+def ring6(zs, orders=None):
+    m = Mol()
+    for z in zs:
+        m.add_atom(z)
+    for i in range(6):
+        m.add_bond(i, (i + 1) % 6, AROMATIC if orders is None else orders[i])
+    return m
+
+
+def benzene():
+    return ring6([6] * 6)
+
+
+def with_subst(m, ring_atom, z, order=1):
+    s = m.add_atom(z)
+    m.add_bond(ring_atom, s, order)
+    return m
+
+
+def naphthalene():
+    m = Mol()
+    for _ in range(10):
+        m.add_atom(6)
+    for i, j in [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 0), (0, 6),
+                 (6, 7), (7, 8), (8, 9), (9, 5)]:
+        m.add_bond(i, j, AROMATIC)
+    return m
+
+
+def acetamide():
+    m = chain([6, 6], [1])
+    o = m.add_atom(8)
+    n = m.add_atom(7)
+    m.add_bond(1, o, 2)
+    m.add_bond(1, n, 1)
+    return m
+
+
+def acetic_acid():
+    m = chain([6, 6], [1])
+    o1 = m.add_atom(8)
+    o2 = m.add_atom(8)
+    m.add_bond(1, o1, 2)
+    m.add_bond(1, o2, 1)
+    return m
+
+
+# -- SMARTS engine -----------------------------------------------------------
+
+class TestSmartsEngine:
+    def test_ring_closure_and_uniquify(self):
+        assert smarts.count_matches(benzene(), "c1ccccc1") == 1
+        assert smarts.count_matches(naphthalene(), "c1ccccc1") == 2
+
+    def test_branches(self):
+        assert smarts.count_matches(acetamide(), "C(=O)N") == 1
+        assert smarts.count_matches(acetamide(), "C(N)=O") == 1
+
+    def test_primitives(self):
+        t = with_subst(benzene(), 0, 6)  # toluene
+        assert smarts.count_matches(t, "[CH3]") == 1
+        assert smarts.count_matches(t, "[cH]") == 5
+        assert smarts.count_matches(t, "[R]") == 6
+        assert smarts.count_matches(t, "[!R]") == 1
+        assert smarts.count_matches(t, "[r6]") == 6
+        assert smarts.count_matches(t, "[D1]") == 1
+        assert smarts.count_matches(t, "[X4]") == 1
+        assert smarts.count_matches(t, "c@c") == 6
+        assert smarts.count_matches(t, "[#6]~[#6]") == 7
+
+    def test_logic_ops(self):
+        p = ring6([7] + [6] * 5)  # pyridine
+        assert smarts.count_matches(p, "[c,n]") == 6
+        assert smarts.count_matches(p, "[c;!n]") == 5
+        assert smarts.count_matches(p, "[!c;a]") == 1
+
+    def test_recursive(self):
+        ph = with_subst(benzene(), 0, 8)  # phenol
+        # aromatic carbon bearing an O
+        assert smarts.count_matches(ph, "[$(c[OX2])]") == 1
+        assert smarts.count_matches(ph, "[c;!$(c[OX2])]") == 5
+
+    def test_charge(self):
+        m = chain([7, 8], [1])
+        m.atoms[0].charge = 1
+        m.atoms[1].charge = -1
+        assert smarts.count_matches(m, "[N+]") == 1
+        assert smarts.count_matches(m, "[O-]") == 1
+        assert smarts.count_matches(m, "[N+0]") == 0
+
+    def test_bond_negation(self):
+        t = with_subst(benzene(), 0, 6)
+        assert smarts.count_matches(t, "[#6]!@[#6]") == 1  # exocyclic C-C
+
+    def test_errors(self):
+        with pytest.raises(smarts.SmartsError):
+            smarts.parse("C1CC")  # unclosed ring
+        with pytest.raises(smarts.SmartsError):
+            smarts.parse("C.C")  # disconnected unsupported
+
+
+# -- Crippen logP ------------------------------------------------------------
+
+# (builder, RDKit MolLogP golden value)
+CRIPPEN_GOLDEN = [
+    ("methane", lambda: chain([6]), 0.6361),
+    ("ethanol", lambda: chain([6, 6, 8]), -0.0014),
+    ("benzene", benzene, 1.6866),
+    ("phenol", lambda: with_subst(benzene(), 0, 8), 1.3922),
+    ("aniline", lambda: with_subst(benzene(), 0, 7), 1.2688),
+    ("toluene", lambda: with_subst(benzene(), 0, 6), 1.9950),
+    ("chlorobenzene", lambda: with_subst(benzene(), 0, 17), 2.3400),
+    ("pyridine", lambda: ring6([7] + [6] * 5), 1.0816),
+    ("acetic_acid", acetic_acid, 0.0909),
+    ("acetamide", acetamide, -0.5084),
+    ("thiophene", lambda: _ring5([16, 6, 6, 6, 6]), 1.7481),
+    ("acetonitrile", lambda: chain([6, 6, 7], [1, 3]), 0.5299),
+]
+
+
+def _ring5(zs):
+    m = Mol()
+    for z in zs:
+        m.add_atom(z)
+    for i in range(5):
+        m.add_bond(i, (i + 1) % 5, AROMATIC)
+    return m
+
+
+class TestCrippen:
+    @pytest.mark.parametrize("name,build,want", CRIPPEN_GOLDEN,
+                             ids=[g[0] for g in CRIPPEN_GOLDEN])
+    def test_golden(self, name, build, want):
+        got = crippen.logp(build())
+        assert abs(got - want) < 2e-3, (name, got, want,
+                                        crippen.atom_types(build()))
+
+    def test_atom_types(self):
+        assert crippen.atom_types(benzene()) == ["C18"] * 6
+        assert crippen.atom_types(chain([6, 6, 8]))[2] == "O2"
+        t = crippen.atom_types(with_subst(benzene(), 0, 7))
+        assert t[0] == "C22" and t[6] == "N3"
+
+
+# -- fr_* counters -----------------------------------------------------------
+
+class TestFragments:
+    def test_reference_family_coverage(self):
+        """All 21 families from reference utils/evaluation.py:86-94."""
+        g = groups_counts(benzene())
+        assert len(g) == 21
+        assert g["fr_benzene"] == 1
+
+    def test_counters(self):
+        pyr = ring6([7] + [6] * 5)
+        g = groups_counts(pyr)
+        assert g["fr_pyridine"] == 1 and g["fr_Ar_N"] == 1 and g["fr_NH0"] == 1
+        assert g["fr_benzene"] == 0
+
+        pip = ring6([7] + [6] * 5, orders=[1] * 6)
+        g = groups_counts(pip)
+        assert g["fr_piperdine"] == 1 and g["fr_NH1"] == 1
+
+        am = groups_counts(acetamide())
+        assert am["fr_amide"] == 1 and am["fr_C_O"] == 1
+        assert am["fr_C_O_noCOO"] == 1
+
+        acid = groups_counts(acetic_acid())
+        assert acid["fr_C_O"] == 1 and acid["fr_C_O_noCOO"] == 0
+
+        tol = groups_counts(with_subst(benzene(), 0, 6))
+        assert tol["fr_aryl_methyl"] == 1
+
+        ph = groups_counts(with_subst(benzene(), 0, 8))
+        assert ph["fr_para_hydroxylation"] == 1
+
+        anis = with_subst(benzene(), 0, 8)
+        c = anis.add_atom(6)
+        anis.add_bond(6, c, 1)  # anisole
+        g = groups_counts(anis)
+        assert g["fr_methoxy"] == 1 and g["fr_ether"] == 1
+
+        chloroethane = chain([6, 6, 17])
+        g = groups_counts(chloroethane)
+        assert g["fr_alkyl_halide"] == 1 and g["fr_halogen"] == 1
+
+        sulfide = chain([6, 16, 6])
+        assert groups_counts(sulfide)["fr_sulfide"] == 1
+
+        aniline = groups_counts(with_subst(benzene(), 0, 7))
+        assert aniline["fr_aniline"] == 1
+
+    def test_bicyclic(self):
+        assert fr_bicyclic(benzene()) == 0
+        assert fr_bicyclic(naphthalene()) == 1
+
+    def test_sulfonamide(self):
+        m = chain([6, 16], [1])
+        o1, o2, n = m.add_atom(8), m.add_atom(8), m.add_atom(7)
+        m.add_bond(1, o1, 2)
+        m.add_bond(1, o2, 2)
+        m.add_bond(1, n, 1)
+        assert groups_counts(m)["fr_sulfonamd"] == 1
+
+
+# -- alerts ------------------------------------------------------------------
+
+class TestAlertsBrenk:
+    def test_clean(self):
+        assert num_alerts(benzene()) == 0
+        assert num_alerts(acetamide()) == 0
+
+    def test_alert_hits(self):
+        perox = chain([6, 8, 8, 6])
+        assert "peroxide" in count_alerts(perox)
+        nitro = chain([6, 7], [1])
+        o1, o2 = nitro.add_atom(8), nitro.add_atom(8)
+        nitro.add_bond(1, o1, 2)
+        nitro.add_bond(1, o2, 2)
+        assert "nitro" in count_alerts(nitro)
+        thiol = chain([6, 16])
+        assert "thiol" in count_alerts(thiol)
+        aldehyde = chain([6, 6, 8], [1, 2])
+        assert "aldehyde" in count_alerts(aldehyde)
+        michael = chain([6, 6, 6, 8], [2, 1, 2])
+        assert "michael_acceptor" in count_alerts(michael)
+        hydrazine = chain([6, 7, 7, 6])
+        assert "hydrazine" in count_alerts(hydrazine)
+
+    def test_distinct_pattern_count(self):
+        # nitroso-free nitro molecule: exactly the patterns that hit
+        perox = chain([6, 8, 8, 6])
+        assert num_alerts(perox) == len(count_alerts(perox))
+
+
+class TestShippedSATable:
+    def test_loads_and_scores_in_ertl_range(self):
+        """The committed fragment table (eval/data/
+        fragment_scores_synthetic.pkl — the analogue of the reference's
+        fpscores.pkl.gz) must load as the default and give corpus-typical
+        molecules drug-like Ertl scores, NOT the complexity-only fallback."""
+        from moldiff_tpu.eval.sa_score import _default_scorer, sa_score
+
+        scorer = _default_scorer()
+        assert len(scorer.scores) > 10_000
+        # simple aliphatic chain from corpus-common fragments: easy
+        easy = chain([6, 6, 6, 8])
+        assert sa_score(easy) < 5.0
+        # bridged polycyclic with rare fragments: harder than the chain
+        hard = Mol()
+        for _ in range(8):
+            hard.add_atom(6)
+        for i, j in [(0, 1), (1, 2), (2, 3), (3, 0), (0, 4), (4, 5), (5, 2),
+                     (1, 6), (6, 7), (7, 3)]:
+            hard.add_bond(i, j, 1)
+        assert sa_score(hard) > sa_score(easy)
