@@ -5,13 +5,24 @@ Runs the full 1000-step reverse sampler (the reference's hot path,
 flagship model config (node_dim 256, 6 blocks) at bucket N=32 (covers the
 GEOM-Drug size distribution N(24.9, 5.5)).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+roofline fields (tflops_per_sec / pct_peak from XLA's own cost analysis),
+"devices", and "baseline_kind".
 
-Baseline: the reference publishes no throughput numbers (SURVEY.md section 6).
-We use an estimated 0.5 mols/sec for the PyTorch/A100 reference (batch-512
-x 1000-step sampling runs reported ~15-20 min per batch for models of this
-size); the north-star target is >= 10x that per v5e-8, i.e. ~0.63
-mols/sec/chip. vs_baseline is value / 0.5.
+Modes:
+  python bench.py [batch] [n]          sampler throughput (default)
+  python bench.py guided [batch] [n]   guided sampler
+  python bench.py train [batch] [n]    train step throughput + MFU
+  python bench.py mesh [n_devices]     DP-sharded sampler on a virtual CPU
+                                       mesh, bitwise-checked against the
+                                       single-device chain (BASELINE.json
+                                       configs item 5)
+
+Baseline: the reference publishes no throughput numbers (SURVEY.md section 6)
+— "baseline_kind": "estimated" marks this. We use an estimated 0.5 mols/sec
+for the PyTorch/A100 reference (batch-512 x 1000-step sampling runs reported
+~15-20 min per batch for models of this size); the north-star target is
+>= 10x that per v5e-8, i.e. ~0.63 mols/sec/chip. vs_baseline is value / 0.5.
 """
 from __future__ import annotations
 
@@ -33,9 +44,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 REFERENCE_MOLS_PER_SEC = 0.5  # estimated PyTorch/A100 single-GPU throughput
 
 
-def bench_train(batch: int, n: int):
+def bench_train(batch: int, n: int, remat_policy: str = "none"):
     """Secondary metric: train steps/sec at full model size (invoke as
-    `python bench.py train [batch] [n]`)."""
+    `python bench.py train [batch] [n] [remat_policy]`; policies
+    none|dots|dots_no_batch|off select the activation-recompute strategy)."""
     import numpy as np
 
     from __graft_entry__ import _model_config
@@ -46,6 +58,10 @@ def bench_train(batch: int, n: int):
 
     cfg = _model_config()
     cfg["denoiser"]["dtype"] = "bfloat16"
+    if remat_policy == "off":
+        cfg["denoiser"]["remat"] = False
+    else:
+        cfg["denoiser"]["remat_policy"] = remat_policy
     model = MolDiff(cfg, 8, 6)
     trainer = Trainer(model, Config({
         "pos_noise_std": 0.05, "max_grad_norm": 50.0,
@@ -63,6 +79,10 @@ def bench_train(batch: int, n: int):
         "halfedge_type": rng.integers(0, 5, (batch, e)).astype(np.int32),
         "node_mask": np.ones((batch, n), np.float32),
     }
+    from moldiff_tpu.utils.flops import compiled_flops, mfu
+
+    batch_dev = trainer._put(batch_data)
+    flops = compiled_flops(trainer._train_step, state, batch_dev, jax.random.key(1))
     state, aux = trainer.train_step(state, batch_data, jax.random.key(1))
     jax.block_until_ready(aux["loss"])
     t0 = time.time()
@@ -74,7 +94,82 @@ def bench_train(batch: int, n: int):
     print(json.dumps({
         "metric": "train_steps_per_sec", "value": round(sps, 2),
         "unit": f"steps/sec (batch {batch})", "vs_baseline": None,
+        "devices": jax.device_count(), "remat_policy": remat_policy,
+        **mfu(flops, 1.0 / sps),
     }))
+
+
+def bench_mesh(n_devices: int, inner: bool = False):
+    """DP-sharded sampler correctness on a virtual CPU mesh: at the same
+    key the sharded chain must produce the SAME MOLECULES as the
+    single-device chain — identical argmax node/edge types, positions to
+    float tolerance (sharded vs unsharded executables fuse differently, so
+    logits differ at the ~1e-6 level; the partitionable threefry PRNG keeps
+    every sampled discrete outcome identical). BASELINE.json configs item 5.
+    Self-provisions the mesh in a subprocess when devices are missing (same
+    pattern as __graft_entry__.dryrun_multichip)."""
+    if inner:
+        # subprocess leg: the sitecustomize registers the axon TPU backend
+        # in every process, so force CPU via the config (env alone is
+        # ignored) — and never respawn from here
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.device_count() >= n_devices, (
+            f"virtual mesh provisioning failed: {jax.device_count()} devices"
+        )
+    if jax.device_count() < n_devices:
+        import subprocess
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        env = dict(os.environ)
+        flags = [f for f in env.get("XLA_FLAGS", "").split()
+                 if "xla_force_host_platform_device_count" not in f]
+        flags.append(f"--xla_force_host_platform_device_count={n_devices}")
+        env["XLA_FLAGS"] = " ".join(flags)
+        env["JAX_PLATFORMS"] = "cpu"
+        rc = subprocess.run(
+            [sys.executable, os.path.join(repo, "bench.py"), "mesh",
+             str(n_devices), "--inner"], cwd=repo, env=env).returncode
+        sys.exit(rc)
+
+    from __graft_entry__ import _model_config
+    from moldiff_tpu.models.moldiff import MolDiff
+    from moldiff_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+    cfg = _model_config(tiny=True)
+    cfg["diff"]["num_timesteps"] = 100  # CPU-sized chain, full sampler path
+    cfg["diff"]["diff_bond"]["time_segment"] = [60, 40]  # keep segment sum == T
+    model = MolDiff(cfg, 8, 6)
+    params = model.init_params(jax.random.key(0))
+    batch, n_atoms = 2 * n_devices, 12
+    node_mask = jnp.ones((batch, n_atoms), jnp.float32)
+    key = jax.random.key(7)
+
+    def fn(params, node_mask, key):
+        res = model.sample(params, node_mask, key)
+        return res.pred_node, res.pred_pos, res.pred_halfedge
+
+    single = jax.jit(fn)(params, node_mask, key)
+    mesh = make_mesh(n_devices)
+    rep, data = replicated(mesh), batch_sharding(mesh)
+    sharded_fn = jax.jit(fn, in_shardings=(rep, data, rep))
+    sharded = sharded_fn(
+        jax.device_put(params, rep), jax.device_put(node_mask, data), key
+    )
+    s_node, s_pos, s_he = (np.asarray(x) for x in single)
+    m_node, m_pos, m_he = (np.asarray(x) for x in sharded)
+    types_equal = (
+        np.array_equal(s_node.argmax(-1), m_node.argmax(-1))
+        and np.array_equal(s_he.argmax(-1), m_he.argmax(-1))
+    )
+    pos_diff = float(np.abs(s_pos - m_pos).max())
+    match = types_equal and pos_diff < 1e-4
+    print(json.dumps({
+        "metric": "sampler_mesh_match", "value": float(match),
+        "unit": "bool", "vs_baseline": None, "devices": n_devices,
+        "max_pos_diff": pos_diff,
+    }))
+    if not match:
+        sys.exit(1)
 
 
 def main():
@@ -83,13 +178,20 @@ def main():
 
     mode = "sample"
     argv = sys.argv[1:]
-    if argv and argv[0] in ("train", "guided"):
+    if argv and argv[0] in ("train", "guided", "mesh"):
         mode = argv[0]
         argv = argv[1:]
+    if argv and argv[0] == "--devices":  # alias: bench.py --devices N
+        mode = "mesh"
+        argv = argv[1:]
+    if mode == "mesh":
+        inner = "--inner" in argv
+        argv = [a for a in argv if a != "--inner"]
+        return bench_mesh(int(argv[0]) if argv else 8, inner=inner)
     batch = int(argv[0]) if len(argv) > 0 else (256 if mode == "train" else 128)
     n = int(argv[1]) if len(argv) > 1 else 32
     if mode == "train":
-        return bench_train(batch, n)
+        return bench_train(batch, n, argv[2] if len(argv) > 2 else "none")
 
     cfg = _model_config()
     cfg["denoiser"]["dtype"] = "bfloat16"  # mixed-precision denoiser
@@ -133,17 +235,35 @@ def main():
             res = model.sample(params, node_mask, key)
             return res.pred_node, res.pred_pos, res.pred_halfedge
 
-    # compile
+    from moldiff_tpu.utils.flops import mfu
+
+    # compile (sample mode: AOT lower+compile so XLA's cost analysis comes
+    # from the SAME executable we run — exactly one compile)
+    flops = None
     t0 = time.time()
-    out = run(params, node_mask, jax.random.key(1))
-    jax.block_until_ready(out)
+    if mode == "guided":
+        out = run(params, node_mask, jax.random.key(1))
+        jax.block_until_ready(out)
+        exec_fn = run
+    else:
+        compiled = run.lower(params, node_mask, jax.random.key(1)).compile()
+        try:
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
+        exec_fn = compiled
+        out = exec_fn(params, node_mask, jax.random.key(1))
+        jax.block_until_ready(out)
     compile_s = time.time() - t0
 
     # timed runs
     times = []
     for i in range(3):
         t0 = time.time()
-        out = run(params, node_mask, jax.random.key(2 + i))
+        out = exec_fn(params, node_mask, jax.random.key(2 + i))
         jax.block_until_ready(out)
         times.append(time.time() - t0)
     best = min(times)
@@ -156,6 +276,9 @@ def main():
         "value": round(mols_per_sec / max(n_chips, 1), 3),
         "unit": "mols/sec/chip",
         "vs_baseline": round(mols_per_sec / max(n_chips, 1) / REFERENCE_MOLS_PER_SEC, 2),
+        "baseline_kind": "estimated",
+        "devices": n_chips,
+        **mfu(flops, best),  # whole 1000-step chain per executed call
     }
     print(json.dumps(result))
     print(

@@ -3,11 +3,13 @@
 First-party analogue of the reference's `get_rdkit_rmsd`
 (`/root/reference/utils/scoring_func.py:56-74`): the reference embeds 100
 ETKDG conformers with RDKit + UFF and reports the best heavy-atom RMSD to
-the generated geometry. Without RDKit, the re-embedding here uses the
-framework's force-field layout (`data/synthetic._embed_coords`) over several
-random restarts — a cruder embedding, so absolute values differ from the
-reference's, but the metric remains a consistent relative measure of
-geometry plausibility across compared methods.
+the generated geometry. Here the conformers come from the first-party
+distance-geometry embedder (chem/embed.py: bounds matrix from bond-length
+tables + idealized angles + torsion ranges, triangle smoothing, metric-
+matrix embedding, bounds refinement) with the same best-of-100 protocol.
+No torsion-knowledge terms and no symmetry-aware GetBestRMS atom matching
+(documented divergences), so absolute values run higher than RDKit's; the
+metric remains a consistent relative measure across compared methods.
 """
 from __future__ import annotations
 
@@ -37,21 +39,19 @@ def kabsch_rmsd(p: np.ndarray, q: np.ndarray, center: bool = True) -> float:
 
 
 def best_embedding_rmsd(
-    mol: Mol, n_restarts: int = 10, seed: int = 0, iters: int = 120
+    mol: Mol, n_conformers: int = 100, seed: int = 0
 ) -> Optional[float]:
-    """Best RMSD between mol's coordinates and force-layout re-embeddings
-    from random starts (reference: best of 100 ETKDG conformers)."""
-    from ..data.synthetic import _embed_coords
+    """Best heavy-atom RMSD between mol's coordinates and ``n_conformers``
+    distance-geometry re-embeddings (reference protocol: best of 100 ETKDG
+    conformers, scoring_func.py:56-74)."""
+    from ..chem.embed import generate_conformers
 
     if mol.num_atoms < 2 or any(a.pos is None for a in mol.atoms):
         return None
     ref_pos = np.stack([a.pos for a in mol.atoms])
-    rng = np.random.default_rng(seed)
     best = None
-    for _ in range(n_restarts):
-        trial = mol.copy()
-        _embed_coords(trial, rng, iters=iters)
-        r = kabsch_rmsd(ref_pos, np.stack([a.pos for a in trial.atoms]))
+    for conf in generate_conformers(mol, n_conformers, seed=seed):
+        r = kabsch_rmsd(ref_pos, conf)
         best = r if best is None else min(best, r)
     return best
 

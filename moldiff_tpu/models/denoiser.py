@@ -323,6 +323,7 @@ def denoiser_static_config(
     start: float = 0.0,
     dtype: str = "float32",
     remat: bool = True,
+    remat_policy: str = "none",
     use_pallas: bool = False,
     fuse_block: bool = False,
     fuse_edge: bool = False,
@@ -343,6 +344,7 @@ def denoiser_static_config(
         "start": float(start),
         "dtype": dtype,
         "remat": remat,
+        "remat_policy": remat_policy,
         "use_pallas": use_pallas,
         "fuse_block": fuse_block,
         "fuse_edge": fuse_edge,
@@ -500,7 +502,16 @@ def node_edge_net(
     if remat is None:
         remat = static.get("remat", True)
     if remat:
-        block_fn = jax.checkpoint(block_fn, static_argnums=())
+        # remat_policy trades the full-recompute backward (policy 'none',
+        # lowest memory, ~4/3x forward FLOPs) against saving matmul outputs
+        # ('dots': XLA keeps dot results, recomputes only cheap elementwise
+        # ops — near no-remat speed at a fraction of no-remat memory)
+        policy = {
+            "none": None,
+            "dots": jax.checkpoint_policies.checkpoint_dots,
+            "dots_no_batch": jax.checkpoint_policies.checkpoint_dots_with_no_batch_dims,
+        }[static.get("remat_policy", "none")]
+        block_fn = jax.checkpoint(block_fn, static_argnums=(), policy=policy)
 
     (h_node, pos_node, h_edge), _ = jax.lax.scan(
         block_fn, (h_node, pos_node, h_edge), params["blocks"]

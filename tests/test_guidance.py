@@ -67,6 +67,7 @@ def setup():
     return model, params, bp, bp_params, jnp.asarray(node_mask)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", GUIDANCE_MODES)
 def test_all_modes_sample_finite(setup, mode):
     model, params, bp, bp_params, node_mask = setup
@@ -102,6 +103,7 @@ def test_zero_scale_equals_unguided(setup):
     )
 
 
+@pytest.mark.slow
 def test_dynamic_scale_matches_static(setup):
     """The guidance scale as a TRACED runtime argument (scale sweeps reuse
     one compile) must produce exactly the static-float-closure result."""
@@ -128,6 +130,7 @@ def test_dynamic_scale_matches_static(setup):
                            np.asarray(static.pred_pos))
 
 
+@pytest.mark.slow
 def test_sampler_scale_sweep_no_recompile(setup):
     """MolSampler.set_guidance_scale sweeps scales through one compiled
     chain; results match samplers built statically at each scale."""
@@ -182,6 +185,7 @@ def test_delta_respects_padding(setup, mode):
     assert np.isfinite(np.asarray(delta)).all(), mode
 
 
+@pytest.mark.slow
 def test_traj_saving(setup):
     model, params, bp, bp_params, node_mask = setup
     res = model.sample(params, node_mask, jax.random.key(6), save_traj=True)
@@ -192,6 +196,7 @@ def test_traj_saving(setup):
     assert np.isfinite(np.asarray(pos_traj)).all()
 
 
+@pytest.mark.slow
 def test_chunked_equals_single_scan(setup):
     """sample_chunked must be bitwise-identical to the single lax.scan
     (chunking just splits the sequential scan)."""
@@ -206,6 +211,7 @@ def test_chunked_equals_single_scan(setup):
                                np.asarray(r2.pred_node), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_guidance_interval(setup):
     """interval=1 == default every-step; interval=T behaves like guidance on
     only the steps where step % T == 0 (i.e. the final step), so it sits
@@ -244,6 +250,7 @@ def test_guidance_interval(setup):
     )
 
 
+@pytest.mark.slow
 def test_chunked_traj_equals_single_scan_traj(setup):
     """Chunked trajectory saving (host-concatenated per-chunk states) must
     reproduce the single-scan trajectory, guided and unguided."""

@@ -37,6 +37,7 @@ def tiny_model():
 
 
 class TestSamplerPipeline:
+    @pytest.mark.slow
     def test_generate_runs_and_classifies(self):
         model = tiny_model()
         params = model.init_params(jax.random.key(0))
@@ -56,6 +57,7 @@ class TestSamplerPipeline:
             pool[entry["pool"]] += 1
         assert pool["finished"] + pool["failed"] == 4
 
+    @pytest.mark.slow
     def test_generate_pool_loop(self):
         model = tiny_model()
         params = model.init_params(jax.random.key(0))
@@ -68,6 +70,7 @@ class TestSamplerPipeline:
         for e in pool["finished"]:
             assert "smiles" in e and "." not in e["smiles"]
 
+    @pytest.mark.slow
     def test_generate_bernoulli_trajectories(self, monkeypatch):
         """Per-molecule Bernoulli(save_traj_prob) across the pool (reference
         scripts/sample_drug3d.py:156-170): p=1 -> every finished molecule
@@ -117,6 +120,7 @@ class TestSamplerPipeline:
         n_traj = sum("traj" in e for e in pool_half["finished"])
         assert 0 < n_traj < len(pool_half["finished"])
 
+    @pytest.mark.slow
     def test_traj_prob_does_not_change_samples(self):
         """Recording trajectories must not perturb the sampled molecules
         (same key, single batch): finished SMILES identical with p=0/p=1."""
@@ -265,6 +269,7 @@ class TestAromaticDecode:
 
 
 class TestSamplerTraj:
+    @pytest.mark.slow
     def test_sample_with_traj_chunked_matches_single(self):
         """MolSampler.sample_with_traj through the chunked path (chunk_steps
         set, as guided sampling configures it) must produce the same decoded

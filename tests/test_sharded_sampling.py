@@ -12,6 +12,7 @@ from tests.test_pipeline import tiny_model
 
 
 class TestShardedSampling:
+    @pytest.mark.slow
     def test_sharded_matches_single(self):
         model = tiny_model()
         params = model.init_params(jax.random.key(0))
@@ -29,6 +30,7 @@ class TestShardedSampling:
                                        rtol=1e-4, atol=1e-5)
             np.testing.assert_array_equal(a["element"], b["element"])
 
+    @pytest.mark.slow
     def test_sharded_chunked_matches_single(self):
         """The host-chunked chain (guided-sampling path) must also shard
         over the mesh and reproduce the unsharded chunked results."""

@@ -149,6 +149,32 @@ class TestTrainer:
         for a, b in zip(flat0, flat1):
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6)
 
+    @pytest.mark.slow
+    def test_remat_policies_same_grads(self, rng):
+        """remat_policy (none/dots/off) is a memory-speed knob only: one
+        train step from the same init must produce identical params to
+        float tolerance for every policy."""
+        batch = make_batch(rng)
+        results = []
+        for policy in ("none", "dots", "off"):
+            cfg = tiny_model_config()
+            if policy == "off":
+                cfg["denoiser"]["remat"] = False
+            else:
+                cfg["denoiser"]["remat_policy"] = policy
+            model = MolDiff(cfg, 8, 6)
+            tr = Trainer(model, train_config(), mesh=make_mesh(1))
+            st = tr.init_state(jax.random.key(0))
+            st, aux = tr.train_step(st, batch, jax.random.key(1))
+            results.append((policy, float(aux["loss"]),
+                            jax.device_get(st.params)))
+        base = results[0]
+        for policy, loss, params in results[1:]:
+            assert loss == pytest.approx(base[1], rel=1e-5), policy
+            for a, b in zip(jax.tree.leaves(base[2]), jax.tree.leaves(params)):
+                np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
+                                           err_msg=policy)
+
     def test_checkpoint_roundtrip(self, trainer, rng, tmp_path):
         state = trainer.init_state(jax.random.key(0))
         batch = make_batch(rng)
