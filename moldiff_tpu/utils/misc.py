@@ -30,6 +30,21 @@ class BlackHole:
         return self
 
 
+def force_platform_from_env() -> None:
+    """Make ``JAX_PLATFORMS`` from the environment actually stick.
+
+    The container's sitecustomize registers the axon TPU backend in every
+    python process and the env var alone is ignored (see tests/conftest.py),
+    so a CLI subprocess launched with JAX_PLATFORMS=cpu would still try to
+    grab the TPU — and block if another process holds it. Every CLI calls
+    this before touching jax."""
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if platforms:
+        import jax
+
+        jax.config.update("jax_platforms", platforms)
+
+
 def get_logger(name: str, log_dir: Optional[str] = None) -> logging.Logger:
     logger = logging.getLogger(name)
     logger.setLevel(logging.DEBUG)

@@ -94,6 +94,8 @@ def compare(ref: dict, gen: dict) -> dict:
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--ref", required=True, help="metrics dir of the test split")
     ap.add_argument("--methods", nargs="+", required=True,

@@ -25,6 +25,8 @@ from moldiff_tpu.utils.config import Config
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset_root", required=True)
     ap.add_argument("--split", default="train")

@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="reference .pt checkpoint")
     ap.add_argument("--output", required=True)

@@ -26,6 +26,8 @@ from moldiff_tpu.utils.misc import get_logger
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--lmdb", required=True, help="reference processed.lmdb")
     ap.add_argument("--out", required=True,

@@ -85,6 +85,8 @@ def load_dataset_mols(dataset_root: str, split: str, limit=None):
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--from_where", choices=["generated", "dataset"],
                     default="generated")

@@ -57,6 +57,8 @@ def run_pool(sampler, params, num_mols, seed, logger=None):
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--bp_ckpt", required=True)

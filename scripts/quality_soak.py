@@ -62,6 +62,8 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--logdir", default="./logs_demo")
     ap.add_argument("--denoiser_prefix", default="full_")

@@ -67,6 +67,8 @@ def write_trajectory_sdf(featurizer, traj: dict, path: str) -> None:
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--outdir", default="./outputs")
@@ -167,7 +169,9 @@ def main(argv=None):
     mesh = make_mesh() if jax.device_count() > 1 else None
     per_call = min(batch_size, 256)
     if mesh is not None:
-        per_call -= per_call % mesh.size or 0
+        # round down to a mesh-size multiple, but never below one molecule
+        # per device (a batch smaller than the mesh would round to zero)
+        per_call = max(per_call - per_call % mesh.size, mesh.size)
     # molecule-size distribution: explicit config keys override the
     # GEOM-Drug defaults (reference always uses the GEOM stats,
     # utils/transforms.py:128)

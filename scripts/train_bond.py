@@ -30,6 +30,8 @@ from moldiff_tpu.utils.misc import MetricsWriter, get_logger, get_new_log_dir, s
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", required=True)
     ap.add_argument("--logdir", default="./logs")

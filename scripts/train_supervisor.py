@@ -58,6 +58,8 @@ def run_once(cmd, log_path: str, stall_secs: int) -> int:
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--stall_secs", type=int, default=600)
     ap.add_argument("--max_restarts", type=int, default=10)

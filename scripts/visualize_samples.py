@@ -22,6 +22,8 @@ from moldiff_tpu.eval.visualize import HAS_MPL, mol_summary_text, show_mols_grid
 
 
 def main(argv=None):
+    from moldiff_tpu.utils.misc import force_platform_from_env
+    force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True, help="sample_drug3d output dir")
     ap.add_argument("--n", type=int, default=16)

@@ -57,15 +57,19 @@ def _install_shims():
         ts.scatter_mean = _dead
         ts.scatter_max = _dead
         sys.modules["torch_scatter"] = ts
-    if "torch_geometric" not in sys.modules:
-        tg = types.ModuleType("torch_geometric")
+    # install each torch_geometric submodule independently: other tests
+    # (data/convert_lmdb.py unpickle stubs) may have registered the parent
+    # already, without the .nn subtree the reference imports
+    tg = sys.modules.setdefault(
+        "torch_geometric", types.ModuleType("torch_geometric")
+    )
+    if "torch_geometric.nn" not in sys.modules:
         tg_nn = types.ModuleType("torch_geometric.nn")
         tg_pool = types.ModuleType("torch_geometric.nn.pool")
         tg_nn.radius_graph = tg_nn.knn_graph = tg_nn.knn = _dead
         tg_pool.knn_graph = _dead
         tg_nn.pool = tg_pool
         tg.nn = tg_nn
-        sys.modules["torch_geometric"] = tg
         sys.modules["torch_geometric.nn"] = tg_nn
         sys.modules["torch_geometric.nn.pool"] = tg_pool
 
