@@ -37,23 +37,73 @@ def wilson_ci(k: int, n: int, z: float = 1.96):
     return (max(0.0, center - half), min(1.0, center + half))
 
 
-def run_pool(sampler, params, num_mols, seed, logger=None):
+def run_pool(sampler, params, num_mols, seed, logger=None, geom_ref=None):
     import jax
+
+    from moldiff_tpu.eval.failure_analysis import analyze_pool
 
     pool = sampler.generate(
         params, num_mols, jax.random.key(seed),
         rng=np.random.default_rng(seed), logger=logger,
     )
-    n_fin, n_fail = len(pool["finished"]), len(pool["failed"])
-    total = n_fin + n_fail
-    reasons = collections.Counter(e["reason"] for e in pool["failed"])
-    lo, hi = wilson_ci(n_fin, total)
-    return {
-        "finished": n_fin, "failed": n_fail,
-        "success": n_fin / max(total, 1),
-        "ci95": [round(lo, 4), round(hi, 4)],
-        "failure_modes": dict(reasons),
-    }
+    out = analyze_pool(pool)
+    lo, hi = wilson_ci(out["finished"], out["finished"] + out["failed"])
+    out["ci95"] = [round(lo, 4), round(hi, 4)]
+    if geom_ref is not None:
+        out["geometry_jsd"] = geometry_jsd(
+            [e["mol"] for e in pool["finished"]], geom_ref
+        )
+    return out
+
+
+def geometry_reference(dataset_root: str, limit: int = 500):
+    """Bond-length distributions of the dataset test split (Local3D
+    predefined bond patterns, reference analyze_generated.ipynb cell 12)."""
+    from moldiff_tpu.chem.mol import Mol, MolError
+    from moldiff_tpu.chem.sanitize import sanitize
+    from moldiff_tpu.data.dataset import get_dataset
+    from moldiff_tpu.eval.local3d import Local3D
+    from moldiff_tpu.utils.config import Config
+
+    cfg = Config({
+        "root": dataset_root,
+        "path_dict": {"sdf": "sdf", "summary": "mol_summary.csv",
+                      "processed": "processed.mdb"},
+        "split": "split_by_molid.pkl",
+    })
+    _, subsets = get_dataset(cfg)
+    subset = subsets.get("test") or subsets["train"]
+    mols = []
+    for i in range(min(limit, len(subset))):
+        rec = subset[i]
+        try:
+            m = Mol.from_arrays(rec["element"], rec["pos"][0],
+                                rec["bond_index"], rec["bond_type"])
+            sanitize(m)
+            mols.append(m)
+        except MolError:
+            continue
+    l3d = Local3D()
+    l3d.get_predefined()
+    return l3d, l3d.calc_frequent(mols, "length")
+
+
+def geometry_jsd(mols, geom_ref) -> dict:
+    """Mean bond-length JSD vs the test split over the predefined bond
+    patterns (0.02 A bins, the reference notebook's protocol)."""
+    from moldiff_tpu.eval.jsd import hist_jsd
+
+    l3d, ref_lengths = geom_ref
+    gen_lengths = l3d.calc_frequent(mols, "length")
+    per_pattern = {}
+    for pat, ref_vals in ref_lengths.items():
+        gv = gen_lengths.get(pat)
+        if gv is None or len(gv) < 10 or len(ref_vals) < 10:
+            continue
+        per_pattern[pat] = round(hist_jsd(gv, ref_vals, bin_width=0.02), 4)
+    mean = (sum(per_pattern.values()) / len(per_pattern)) if per_pattern else None
+    return {"mean_bond_length_jsd": round(mean, 4) if mean is not None else None,
+            "n_patterns": len(per_pattern), "per_pattern": per_pattern}
 
 
 def main(argv=None):
@@ -70,6 +120,9 @@ def main(argv=None):
     ap.add_argument("--size_mean", type=float, default=18.0)
     ap.add_argument("--size_std", type=float, default=5.0)
     ap.add_argument("--skip_unguided", action="store_true")
+    ap.add_argument("--dataset_root", default=None,
+                    help="when set, also report bond-length JSD vs the test "
+                         "split per run (0.02 A bins)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
 
@@ -108,11 +161,16 @@ def main(argv=None):
     results = {"ckpt": args.ckpt, "bp_ckpt": args.bp_ckpt,
                "ckpt_step": ckpt["step"], "mode": args.mode,
                "num_mols": args.num_mols, "seed": args.seed, "runs": {}}
+    geom_ref = None
+    if args.dataset_root:
+        geom_ref = geometry_reference(args.dataset_root)
+        logger.info("geometry reference ready (test-split bond lengths)")
 
     if not args.skip_unguided:
         t0 = time.time()
         sampler = MolSampler(model, featurizer, **common)
-        r = run_pool(sampler, params, args.num_mols, args.seed, logger)
+        r = run_pool(sampler, params, args.num_mols, args.seed, logger,
+                     geom_ref=geom_ref)
         r["wall_s"] = round(time.time() - t0, 1)
         results["runs"]["unguided"] = r
         logger.info(f"unguided: {r}")
@@ -125,7 +183,8 @@ def main(argv=None):
     for s in scales:
         sampler.set_guidance_scale(s)
         t0 = time.time()
-        r = run_pool(sampler, params, args.num_mols, args.seed, logger)
+        r = run_pool(sampler, params, args.num_mols, args.seed, logger,
+                     geom_ref=geom_ref)
         r["wall_s"] = round(time.time() - t0, 1)
         results["runs"][f"{args.mode}@{s:g}"] = r
         logger.info(f"{args.mode}@{s:g}: {r}")

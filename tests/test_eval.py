@@ -294,3 +294,35 @@ class TestAlerts:
         monkeypatch.setattr(alerts_mod, "num_alerts", lambda mol: 3)
         q3 = qed(m)
         assert q3 < q0
+
+
+class TestFailureAnalysis:
+    def test_disconnect_autopsy_and_pool(self):
+        from moldiff_tpu.eval.failure_analysis import analyze_pool, disconnect_autopsy
+
+        # two fragments: 0-1 bonded, 2 unbonded at 1.8 A from atom 1
+        decoded = {
+            "element": np.array([6, 6, 8]),
+            "atom_pos": np.array([[0, 0, 0], [1.5, 0, 0], [3.3, 0, 0]], float),
+            "bond_index": np.array([[0], [1]]),
+            "bond_type": np.array([1]),
+        }
+        a = disconnect_autopsy(decoded)
+        assert a["n_fragments"] == 2 and a["fragment_sizes"] == [2, 1]
+        assert a["min_gaps"][0] == pytest.approx(1.8)
+
+        far = dict(decoded)
+        far["atom_pos"] = np.array([[0, 0, 0], [1.5, 0, 0], [8.0, 0, 0]], float)
+        pool = {
+            "finished": [{"smiles": "CC"}],
+            "failed": [
+                {"reason": "disconnect", "decoded": decoded},
+                {"reason": "disconnect", "decoded": far},
+                {"reason": "recon_error", "decoded": decoded},
+            ],
+        }
+        r = analyze_pool(pool)
+        assert r["success"] == pytest.approx(0.25)
+        assert r["failure_modes"] == {"disconnect": 2, "recon_error": 1}
+        assert r["disconnect_bondtype"] == 1   # 1.8 A gap: touching, unbonded
+        assert r["disconnect_geometry"] == 1   # 6.5 A gap: spatially separated
