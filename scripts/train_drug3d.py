@@ -53,6 +53,9 @@ def main(argv=None):
     ap.add_argument("--name", default=None)
     ap.add_argument("--max_iters", type=int, default=None)
     ap.add_argument("--resume", default=None)
+    ap.add_argument("--override_lr", type=float, default=None,
+                    help="after --resume, replace the restored LR (e.g. for "
+                         "fine-tuning on new data)")
     ap.add_argument("--num_devices", type=int, default=None)
     ap.add_argument("--profile_at", type=int, default=0,
                     help="capture a jax.profiler trace for 5 steps at this iter")
@@ -78,6 +81,13 @@ def main(argv=None):
     if args.resume:
         state = trainer.load_checkpoint(args.resume)
         logger.info(f"resumed from {args.resume} at step {int(state.step)}")
+        if args.override_lr:
+            from moldiff_tpu.train.optim import set_lr
+
+            set_lr(state.opt_state, args.override_lr)
+            logger.info(f"override LR -> {args.override_lr} (resume restores "
+                        "the decayed LR; fine-tunes on new data may want a "
+                        "fresh one)")
     else:
         state = trainer.init_state(k_init)
     n_params = sum(x.size for x in jax.tree.leaves(state.params))
