@@ -79,10 +79,16 @@ def bench_train(batch: int, n: int, remat_policy: str = "none"):
         "halfedge_type": rng.integers(0, 5, (batch, e)).astype(np.int32),
         "node_mask": np.ones((batch, n), np.float32),
     }
-    from moldiff_tpu.utils.flops import compiled_flops, mfu
+    from moldiff_tpu.utils.flops import denoiser_forward_flops, mfu
 
-    batch_dev = trainer._put(batch_data)
-    flops = compiled_flops(trainer._train_step, state, batch_dev, jax.random.key(1))
+    # analytic matmul FLOPs: fwd + bwd (2x fwd) + remat recompute
+    # (policy 'none' re-runs the block forward in the backward: +1x;
+    # 'dots'/'off' save the matmul outputs: no matmul recompute)
+    fwd = denoiser_forward_flops(batch, n, cfg["node_dim"],
+                                 cfg["edge_dim"],
+                                 cfg["denoiser"]["num_blocks"])
+    mult = 4.0 if (remat_policy == "none" and cfg["denoiser"].get("remat", True)) else 3.0
+    flops = mult * fwd
     state, aux = trainer.train_step(state, batch_data, jax.random.key(1))
     jax.block_until_ready(aux["loss"])
     t0 = time.time()
@@ -235,26 +241,31 @@ def main():
             res = model.sample(params, node_mask, key)
             return res.pred_node, res.pred_pos, res.pred_halfedge
 
-    from moldiff_tpu.utils.flops import mfu
+    from moldiff_tpu.utils.flops import denoiser_forward_flops, mfu
 
-    # compile (sample mode: AOT lower+compile so XLA's cost analysis comes
-    # from the SAME executable we run — exactly one compile)
-    flops = None
+    # analytic matmul FLOPs: XLA's cost_analysis counts a lax.scan body
+    # ONCE (not x trip count), so it under-reports the T-step chain ~1000x;
+    # the analytic model matches XLA's per-block count within 7%
+    T = 1000
+    flops = T * denoiser_forward_flops(
+        batch, n, cfg["node_dim"], cfg["edge_dim"],
+        cfg["denoiser"]["num_blocks"],
+    )
+    if mode == "guided":
+        # + bond-predictor forward and its position gradient per step
+        # (grad ~ 2x fwd); encoder: 8 blocks, update_pos False
+        bp_fwd = denoiser_forward_flops(batch, n, 256, 64, 8,
+                                        update_pos=False)
+        flops += T * 3 * bp_fwd
+
     t0 = time.time()
     if mode == "guided":
         out = run(params, node_mask, jax.random.key(1))
         jax.block_until_ready(out)
         exec_fn = run
     else:
-        compiled = run.lower(params, node_mask, jax.random.key(1)).compile()
-        try:
-            ca = compiled.cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0] if ca else {}
-            flops = float(ca.get("flops", 0.0)) or None
-        except Exception:
-            flops = None
-        exec_fn = compiled
+        # AOT lower+compile: exactly one compile, reused for timing
+        exec_fn = run.lower(params, node_mask, jax.random.key(1)).compile()
         out = exec_fn(params, node_mask, jax.random.key(1))
         jax.block_until_ready(out)
     compile_s = time.time() - t0

@@ -44,6 +44,53 @@ def compiled_flops(jitted_fn, *args, **kwargs) -> Optional[float]:
         return None
 
 
+def denoiser_forward_flops(
+    batch: int,
+    n_atoms: int,
+    node_dim: int,
+    edge_dim: int,
+    num_blocks: int,
+    num_gaussians: int = 16,
+    update_edge: bool = True,
+    update_pos: bool = True,
+    use_gate: bool = True,
+) -> float:
+    """Analytic matmul FLOPs of one dense NodeEdgeNet forward
+    (models/denoiser.py). Counts the O(N^2) pair-tensor matmuls exactly
+    (2*m*k*n per dot); O(N)/O(1) side terms are <1% at these dims and are
+    omitted. Used when the backend's cost analysis is unavailable (the
+    axon remote-compile path reports bogus values)."""
+    bn2 = float(batch) * n_atoms * n_atoms
+    dn, de, g = node_dim, edge_dim, num_gaussians
+    per_block = 0.0
+    # edge_emb: [.., De+G] @ [De+G, De]
+    per_block += 2 * (de + g if update_edge else g) * de
+    # NodeBlock: edge_net MLP (De->Dn->Dn), msg_net (Dn->Dn),
+    # gate edge part (De->Dn) + second layer (Dn->Dn)
+    per_block += 2 * (de * dn + dn * dn) + 2 * dn * dn
+    if use_gate:
+        per_block += 2 * de * dn + 2 * dn * dn
+    if update_edge:
+        # EdgeBlock: 2 x BondFFN(De, Dn, inter=2De) + self/out linears.
+        # The node-side linear runs on the broadcast [B,N,1,Dn] slab (O(N),
+        # models/denoiser.py:201-215) — only bond-side matmuls are O(N^2).
+        inter = 2 * de
+        bffn = 2 * de * inter                     # bond_linear
+        bffn += 2 * (inter * inter + inter * de)  # inter MLP
+        if use_gate:
+            bffn += 2 * (de * 32 + 32 * de)       # gate bond part + layer 2
+        per_block += 2 * bffn + 2 * de * de + 2 * de * de
+    if update_pos:
+        # PosUpdate edge_lin = BondFFN(De, De_node_side, inter=Dn, out=1):
+        # both bond and node inputs are full [B,N,N,De] pair tensors here
+        # (node side is the left*right product, models/denoiser.py:281-309)
+        per_block += 2 * de * dn + 2 * de * dn        # bond/node linears
+        per_block += 2 * (dn * dn + dn * 1)           # inter MLP
+        if use_gate:
+            per_block += 2 * (de * 32 + de * 32 + 32 * 1)
+    return per_block * bn2 * num_blocks
+
+
 def mfu(flops_per_step: Optional[float], seconds_per_step: float) -> dict:
     """{'tflops_per_sec', 'pct_peak'} for the report line (empty if FLOPs
     unavailable)."""
