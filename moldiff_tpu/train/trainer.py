@@ -38,6 +38,11 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray  # scalar int32
+    # exponential moving average of params (None when ema_decay == 0).
+    # Framework addition over the reference: diffusion sampling quality
+    # typically improves from EMA weights; enable via train.ema_decay and
+    # sample with --use_ema.
+    ema_params: Any = None
 
 
 def make_loss_fn(model, pos_noise_std: float = 0.0) -> Callable:
@@ -100,6 +105,9 @@ class Trainer:
         rep = replicated(self.mesh)
         data = batch_sharding(self.mesh)
 
+        self.ema_decay = float(train_config.get("ema_decay", 0.0) or 0.0)
+        ema_decay = self.ema_decay
+
         @partial(
             jax.jit,
             in_shardings=(rep, data, rep),
@@ -115,7 +123,13 @@ class Trainer:
                 grads, state.opt_state, state.params
             )
             params = optax.apply_updates(state.params, updates)
-            return TrainState(params, opt_state, state.step + 1), aux
+            ema = state.ema_params
+            if ema_decay > 0:
+                ema = jax.tree.map(
+                    lambda e, p: ema_decay * e + (1.0 - ema_decay) * p,
+                    ema, params,
+                )
+            return TrainState(params, opt_state, state.step + 1, ema), aux
 
         @partial(jax.jit, in_shardings=(rep, data, rep), out_shardings=rep)
         def _eval_step(params, batch, key):
@@ -130,7 +144,11 @@ class Trainer:
     def init_state(self, key: jax.Array) -> TrainState:
         params = self.model.init_params(key)
         opt_state = self.optimizer.init(params)
-        state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32))
+        # real copies: jnp.asarray would ALIAS the param buffers and the
+        # train step's donation would then donate each buffer twice
+        ema = (jax.tree.map(lambda x: jnp.array(x, copy=True), params)
+               if self.ema_decay > 0 else None)
+        state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32), ema)
         return jax.device_put(state, replicated(self.mesh))
 
     def _put(self, batch: dict) -> dict:
@@ -166,8 +184,16 @@ class Trainer:
 
     def load_checkpoint(self, path: str) -> TrainState:
         ckpt = load_checkpoint(path)
+        ema = ckpt.get("ema_params")
+        if self.ema_decay > 0 and ema is None:
+            # enabling EMA on an older checkpoint: seed from a COPY of the
+            # params (aliased buffers would break the step's donation)
+            ema = jax.tree.map(lambda x: np.array(x, copy=True), ckpt["params"])
+        if self.ema_decay == 0:
+            ema = None
         state = TrainState(
-            ckpt["params"], ckpt["opt_state"], jnp.asarray(ckpt["step"], jnp.int32)
+            ckpt["params"], ckpt["opt_state"],
+            jnp.asarray(ckpt["step"], jnp.int32), ema,
         )
         if ckpt.get("scheduler") is not None:
             self.scheduler.load_state_dict(ckpt["scheduler"])
@@ -191,6 +217,8 @@ def save_checkpoint(path, state: TrainState, model_config=None, scheduler=None,
         "scheduler": scheduler.state_dict() if scheduler is not None else None,
         "key": np.asarray(jax.random.key_data(key)) if key is not None else None,
         "extra": extra,
+        "ema_params": (to_host(state.ema_params)
+                       if getattr(state, "ema_params", None) is not None else None),
     }
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

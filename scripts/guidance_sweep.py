@@ -120,6 +120,12 @@ def main(argv=None):
     ap.add_argument("--size_mean", type=float, default=18.0)
     ap.add_argument("--size_std", type=float, default=5.0)
     ap.add_argument("--skip_unguided", action="store_true")
+    ap.add_argument("--use_ema", action="store_true",
+                    help="use the checkpoint's EMA weights")
+    ap.add_argument("--add_edge", choices=["distance"], default=None,
+                    help="perceive bonds from distances (reference 'edm' "
+                         "path) — makes success purely geometric, the regime "
+                         "where position-space guidance can win")
     ap.add_argument("--dataset_root", default=None,
                     help="when set, also report bond-length JSD vs the test "
                          "split per run (0.02 A bins)")
@@ -138,6 +144,9 @@ def main(argv=None):
 
     logger = get_logger("sweep")
     ckpt = load_checkpoint(args.ckpt)
+    if args.use_ema:
+        assert ckpt.get("ema_params") is not None, "checkpoint has no EMA"
+        ckpt["params"] = ckpt["ema_params"]
     train_config = Config(ckpt["config"])
     train_config.model.denoiser["remat"] = False
     featurizer = featurizer_from_config(train_config)
@@ -157,7 +166,7 @@ def main(argv=None):
     T = model.num_timesteps
     chunk = next(c for c in (100, 50, 25, 20, 10, 5, 1) if T % c == 0)
     common = dict(batch_size=args.batch_size, size_mean=args.size_mean,
-                  size_std=args.size_std)
+                  size_std=args.size_std, add_edge=args.add_edge)
     results = {"ckpt": args.ckpt, "bp_ckpt": args.bp_ckpt,
                "ckpt_step": ckpt["step"], "mode": args.mode,
                "num_mols": args.num_mols, "seed": args.seed, "runs": {}}

@@ -74,6 +74,9 @@ def main(argv=None):
     ap.add_argument("--outdir", default="./outputs")
     ap.add_argument("--num_mols", type=int, default=None)
     ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--use_ema", action="store_true",
+                    help="sample from the EMA weights in the checkpoint "
+                         "(requires training with train.ema_decay > 0)")
     ap.add_argument("--add_edge", choices=["distance"], default=None,
                     help="re-perceive bonds from distances instead of the "
                          "predicted bond types (reference 'edm' path)")
@@ -125,6 +128,14 @@ def main(argv=None):
 
     # model + train config from checkpoint
     ckpt = load_checkpoint(config.model.checkpoint)
+    use_ema = bool(args.use_ema or config.sample.get("use_ema", False))
+    if use_ema:
+        if ckpt.get("ema_params") is None:
+            raise SystemExit(
+                "--use_ema requested but the checkpoint has no ema_params "
+                "(train with train.ema_decay > 0)"
+            )
+        ckpt["params"] = ckpt["ema_params"]
     train_config = Config(ckpt["config"])
     # sampling never differentiates the denoiser: disable remat (it only
     # multiplies XLA compile time here; guidance grads flow through the

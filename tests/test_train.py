@@ -175,6 +175,44 @@ class TestTrainer:
                 np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-6,
                                            err_msg=policy)
 
+    def test_ema_tracks_params(self, rng):
+        """train.ema_decay keeps an exponential average of params that (a)
+        lags the live params, (b) moves toward them, (c) survives the
+        checkpoint round-trip, (d) stays None when disabled."""
+        cfg = train_config()
+        cfg["ema_decay"] = 0.5
+        model = MolDiff(tiny_model_config(), 8, 6)
+        tr = Trainer(model, cfg, mesh=make_mesh(1))
+        st = tr.init_state(jax.random.key(0))
+        assert st.ema_params is not None
+        batch = make_batch(rng)
+        p0 = jax.device_get(st.params)
+        for i in range(3):
+            st, _ = tr.train_step(st, batch, jax.random.key(i))
+        params, ema = jax.device_get(st.params), jax.device_get(st.ema_params)
+        lp, le, l0 = (jax.tree.leaves(t) for t in (params, ema, p0))
+        moved = sum(float(np.abs(a - b).sum()) for a, b in zip(le, l0))
+        lag = sum(float(np.abs(a - b).sum()) for a, b in zip(le, lp))
+        assert moved > 0 and lag > 0  # ema moved but lags live params
+        # ema is between the init and live params elementwise on average
+        d_live = sum(float(np.abs(a - b).sum()) for a, b in zip(lp, l0))
+        assert moved < d_live
+
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "e.ckpt")
+            tr.save_checkpoint(path, st, model_config=tiny_model_config())
+            blob = load_checkpoint(path)
+            assert blob["ema_params"] is not None
+            st2 = tr.load_checkpoint(path)
+            for a, b in zip(jax.tree.leaves(jax.device_get(st2.ema_params)),
+                            le):
+                np.testing.assert_allclose(a, b, rtol=1e-6)
+            # a non-EMA trainer drops it
+            tr0 = Trainer(model, train_config(), mesh=make_mesh(1))
+            assert tr0.load_checkpoint(path).ema_params is None
+
     def test_checkpoint_roundtrip(self, trainer, rng, tmp_path):
         state = trainer.init_state(jax.random.key(0))
         batch = make_batch(rng)
