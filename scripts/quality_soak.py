@@ -42,7 +42,7 @@ def newest_ckpt(logdir: str, prefix: str) -> str:
 
 def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                         num_mols=1000, batch_size=128, seed=2023,
-                        size_mean=18.0, size_std=5.0):
+                        size_mean=18.0, size_std=5.0, use_ema=False):
     import yaml
 
     cfg = {
@@ -51,6 +51,7 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
             "seed": seed, "batch_size": batch_size, "num_mols": num_mols,
             "save_traj_prob": 0.0,
             "size_mean": size_mean, "size_std": size_std,
+            "use_ema": use_ema,
         },
     }
     if bp_ckpt:
@@ -75,6 +76,8 @@ def main(argv=None):
     ap.add_argument("--no_guided", action="store_true")
     ap.add_argument("--no_unguided", action="store_true")
     ap.add_argument("--guidance_scale", type=float, default=1e-4)
+    ap.add_argument("--use_ema", action="store_true",
+                    help="sample from the checkpoint's EMA weights")
     args = ap.parse_args(argv)
 
     from scripts.evaluate_all import main as evaluate_main
@@ -99,16 +102,18 @@ def main(argv=None):
 
     results = {}
     for name, guidance in runs:
-        cfg_path = os.path.join(args.outdir, f"sample_{name}.yml")
+        tag = f"{name}_ema" if args.use_ema else name
+        cfg_path = os.path.join(args.outdir, f"sample_{tag}.yml")
         write_sample_config(
             cfg_path, ckpt,
             bp_ckpt=bp_ckpt if guidance else None, guidance=guidance,
             num_mols=args.num_mols, batch_size=args.batch_size,
+            use_ema=args.use_ema,
         )
         t0 = time.time()
         out_dir = sample_main([
             "--config", cfg_path, "--outdir", args.outdir,
-            "--run_name", f"soak_{name}_{time.strftime('%Y%m%d_%H%M%S')}",
+            "--run_name", f"soak_{tag}_{time.strftime('%Y%m%d_%H%M%S')}",
         ])
         dt = time.time() - t0
         print(f"[soak] {name}: sampled -> {out_dir} in {dt:.0f}s")
