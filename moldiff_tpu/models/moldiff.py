@@ -72,6 +72,10 @@ class MolDiff:
         self.num_node_types = num_node_types
         self.num_edge_types = num_edge_types
         self.bond_len_loss = bool(config.get("bond_len_loss", False))
+        # extension knob (not in the reference, which fixes 100x for both
+        # categorical KLs — model.py:174-185): extra multiplier on the edge
+        # KL for fine-tunes targeting the edge head. 1.0 = reference loss.
+        self.edge_loss_scale = float(config.get("edge_loss_scale", 1.0))
 
         diff = config["diff"]
         self.num_timesteps = diff["num_timesteps"]
@@ -271,7 +275,7 @@ class MolDiff:
             kl_edge = self.edge_transition.compute_v_Lt(
                 log_edge_post_true, log_edge_post_pred, log_halfedge_0, t
             )
-            loss_edge = masked_mean(kl_edge, halfedge_mask) * 100.0
+            loss_edge = masked_mean(kl_edge, halfedge_mask) * 100.0 * self.edge_loss_scale
         else:
             # continuous: MSE to the scaled one-hots x30
             # (reference model.py:186-189)

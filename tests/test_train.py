@@ -277,3 +277,41 @@ class TestProfiling:
         from moldiff_tpu.utils.profiling import device_memory_stats
 
         device_memory_stats()  # must not raise on any backend
+
+
+class TestEdgeLossScale:
+    """edge_loss_scale (extension knob; reference fixes 100x at
+    model.py:174-185) multiplies exactly the edge KL term."""
+
+    def test_scales_edge_term_only(self):
+        cfg = tiny_model_config()
+        base = MolDiff(cfg, 8, 6)
+        cfg3 = tiny_model_config()
+        cfg3["edge_loss_scale"] = 3.0
+        scaled = MolDiff(cfg3, 8, 6)
+
+        rng = np.random.default_rng(0)
+        batch = make_batch(rng)
+        key = jax.random.PRNGKey(0)
+        params = base.init_params(jax.random.PRNGKey(1))
+
+        _, l_base = base.get_loss(
+            params, batch["node_type"], batch["pos"], batch["halfedge_type"],
+            batch["node_mask"], key,
+        )
+        _, l_scaled = scaled.get_loss(
+            params, batch["node_type"], batch["pos"], batch["halfedge_type"],
+            batch["node_mask"], key,
+        )
+        assert float(l_scaled["loss_edge"]) == pytest.approx(
+            3.0 * float(l_base["loss_edge"]), rel=1e-6
+        )
+        assert float(l_scaled["loss_pos"]) == pytest.approx(
+            float(l_base["loss_pos"]), rel=1e-6
+        )
+        assert float(l_scaled["loss_node"]) == pytest.approx(
+            float(l_base["loss_node"]), rel=1e-6
+        )
+        assert float(l_scaled["loss"]) == pytest.approx(
+            float(l_base["loss"]) + 2.0 * float(l_base["loss_edge"]), rel=1e-5
+        )
