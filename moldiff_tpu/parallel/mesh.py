@@ -18,6 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 GRAPH_AXIS = "graph"  # shards the O(N^2) pair tensors' receiver axis
+MODEL_AXIS = "model"  # tensor parallelism: shards MLP hidden dims
 
 
 def initialize_distributed(
@@ -53,6 +54,137 @@ def make_mesh_2d(n_data: int, n_graph: int, devices=None) -> Mesh:
         devices = jax.devices()
     devices = np.array(devices[: n_data * n_graph]).reshape(n_data, n_graph)
     return Mesh(devices, (DATA_AXIS, GRAPH_AXIS))
+
+
+def make_mesh_3d(n_data: int, n_graph: int, n_model: int, devices=None) -> Mesh:
+    """3-D mesh ('data', 'graph', 'model'): batch over 'data', pair-tensor
+    receiver axis over 'graph', and MLP hidden dims over 'model' (tensor
+    parallelism — see :func:`tp_param_sharding`)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: n_data * n_graph * n_model]).reshape(
+        n_data, n_graph, n_model
+    )
+    return Mesh(devices, (DATA_AXIS, GRAPH_AXIS, MODEL_AXIS))
+
+
+def tp_enabled(mesh: Mesh) -> bool:
+    return MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+
+
+def make_mesh_from_config(parallel_cfg, devices=None) -> Mesh:
+    """Mesh from a config ``parallel:`` block.
+
+    Keys (all optional): ``num_devices`` (total; null = all visible),
+    ``graph`` (within-graph axis size, default 1), ``model`` (tensor-
+    parallel axis size, default 1). The data axis takes the rest:
+    ``data = num_devices // (graph * model)``.
+    """
+    cfg = parallel_cfg or {}
+    get = cfg.get if hasattr(cfg, "get") else lambda k, d=None: d
+    if devices is None:
+        devices = jax.devices()
+    total = get("num_devices") or len(devices)
+    n_graph = int(get("graph", 1) or 1)
+    n_model = int(get("model", 1) or 1)
+    if total % (n_graph * n_model) != 0:
+        raise ValueError(
+            f"num_devices={total} not divisible by graph*model="
+            f"{n_graph * n_model}"
+        )
+    n_data = total // (n_graph * n_model)
+    if n_model > 1:
+        return make_mesh_3d(n_data, n_graph, n_model, devices=devices)
+    if n_graph > 1:
+        return make_mesh_2d(n_data, n_graph, devices=devices)
+    return make_mesh(total, devices=devices)
+
+
+def tp_param_sharding(mesh: Mesh, tree):
+    """Megatron-style tensor-parallel sharding pytree for a param tree.
+
+    Every 2+-layer MLP in this codebase is ``init_mlp``'s
+    ``{"layers": [{"lin": {w,b}, "ln"?}, ...]}`` (models/nn.py:98-124); its
+    hidden dim is the tensor-parallel axis:
+
+      * layer 0 ("column-parallel"): ``w`` sharded on its LAST dim, its bias
+        and the inter-layer LayerNorm params sharded likewise — the hidden
+        activation lives sharded over 'model';
+      * final layer ("row-parallel"): ``w`` sharded on its CONTRACTING dim;
+        the matmul produces partial sums and GSPMD inserts the all-reduce
+        (the single collective of the Megatron pattern). Bias replicated.
+
+    Stacked per-block params ([num_blocks, din, dout] leaves from the
+    denoiser's scan-over-blocks layout) shard the same trailing dims. MLPs
+    whose hidden dim does not divide the 'model' axis — and every non-MLP
+    leaf (plain linears, LayerNorms, embeddings) — are replicated; GSPMD
+    resolves any mixture with resharding, so correctness never depends on
+    which leaves qualify. Works on any pytree whose structure embeds param
+    subtrees (params, EMA copies, optax m/v states alike).
+
+    The same pytree serves as ``device_put`` placement for TrainState leaves
+    and as ``with_sharding_constraint`` spec inside the jitted train step.
+    """
+    rep = NamedSharding(mesh, P())
+    n_model = mesh.shape[MODEL_AXIS] if MODEL_AXIS in mesh.axis_names else 1
+
+    def col(arr):  # shard last dim
+        spec = [None] * (arr.ndim - 1) + [MODEL_AXIS]
+        return NamedSharding(mesh, P(*spec))
+
+    def row(arr):  # shard second-to-last (contracting) dim
+        spec = [None] * (arr.ndim - 2) + [MODEL_AXIS, None]
+        return NamedSharding(mesh, P(*spec))
+
+    def all_rep(node):
+        return jax.tree.map(lambda _: rep, node)
+
+    def walk_mlp(layers):
+        hidden = layers[0]["lin"]["w"].shape[-1]
+        if n_model <= 1 or hidden % n_model != 0:
+            return [all_rep(l) for l in layers]
+        out = []
+        last = len(layers) - 1
+        for i, layer in enumerate(layers):
+            lspec = {}
+            for k, v in layer.items():
+                if k == "lin" and i == 0:
+                    lspec[k] = {kk: col(vv) for kk, vv in v.items()}
+                elif k == "lin" and i == last:
+                    lspec[k] = {
+                        kk: (row(vv) if kk == "w" else rep)
+                        for kk, vv in v.items()
+                    }
+                elif k == "ln" and i == 0:
+                    lspec[k] = {kk: col(vv) for kk, vv in v.items()}
+                else:  # middle layers / trailing LN: replicated
+                    lspec[k] = all_rep(v)
+            out.append(lspec)
+        return out
+
+    def walk(node):
+        if isinstance(node, dict):
+            if (
+                "layers" in node
+                and isinstance(node["layers"], (list, tuple))
+                and len(node["layers"]) >= 2
+                and all(
+                    isinstance(l, dict) and "lin" in l for l in node["layers"]
+                )
+            ):
+                out = {k: walk(v) for k, v in node.items() if k != "layers"}
+                out["layers"] = walk_mlp(node["layers"])
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        if hasattr(node, "_fields"):  # NamedTuple (optax states)
+            return type(node)(*(walk(v) for v in node))
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        if node is None:
+            return None
+        return rep
+
+    return walk(tree)
 
 
 def pair_sharding(mesh: Mesh) -> Optional[NamedSharding]:

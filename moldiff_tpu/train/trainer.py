@@ -30,6 +30,8 @@ from ..parallel.mesh import (
     make_mesh,
     pad_batch_to_multiple,
     replicated,
+    tp_enabled,
+    tp_param_sharding,
 )
 from .optim import get_lr, get_optimizer, get_scheduler, set_lr
 
@@ -105,24 +107,44 @@ class Trainer:
         rep = replicated(self.mesh)
         data = batch_sharding(self.mesh)
 
+        # tensor parallelism (3-D mesh with a 'model' axis): params, grads,
+        # and optimizer moments live SHARDED over MLP hidden dims
+        # (Megatron column/row pattern — parallel/mesh.py:tp_param_sharding);
+        # jit then follows the committed input shardings instead of the
+        # replicated in_shardings of the pure-DP path, and explicit
+        # constraints inside the step pin grads/params to the TP layout so
+        # GSPMD keeps the all-reduce per row-parallel matmul rather than
+        # falling back to replication.
+        self.tp = tp_enabled(self.mesh)
+        mesh_ = self.mesh
+        tp_on = self.tp
+
+        def constrain_tp(tree):
+            if not tp_on:
+                return tree
+            return jax.lax.with_sharding_constraint(
+                tree, tp_param_sharding(mesh_, tree)
+            )
+
         self.ema_decay = float(train_config.get("ema_decay", 0.0) or 0.0)
         ema_decay = self.ema_decay
 
-        @partial(
-            jax.jit,
-            in_shardings=(rep, data, rep),
-            out_shardings=rep,
-            donate_argnums=(0,),
+        jit_shardings = (
+            {} if self.tp
+            else {"in_shardings": (rep, data, rep), "out_shardings": rep}
         )
+
+        @partial(jax.jit, donate_argnums=(0,), **jit_shardings)
         def _train_step(state: TrainState, batch, key):
             (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
                 state.params, batch, key
             )
+            grads = constrain_tp(grads)
             aux["grad_norm"] = optax.global_norm(grads)
             updates, opt_state = self.optimizer.update(
                 grads, state.opt_state, state.params
             )
-            params = optax.apply_updates(state.params, updates)
+            params = constrain_tp(optax.apply_updates(state.params, updates))
             ema = state.ema_params
             if ema_decay > 0:
                 ema = jax.tree.map(
@@ -131,7 +153,7 @@ class Trainer:
                 )
             return TrainState(params, opt_state, state.step + 1, ema), aux
 
-        @partial(jax.jit, in_shardings=(rep, data, rep), out_shardings=rep)
+        @partial(jax.jit, **jit_shardings)
         def _eval_step(params, batch, key):
             _, aux = self.loss_fn(params, batch, key)
             return aux
@@ -141,6 +163,19 @@ class Trainer:
 
     # -- lifecycle -----------------------------------------------------------
 
+    def _state_sharding(self, state: TrainState):
+        """Placement pytree for a TrainState: replicated on DP meshes;
+        TP-sharded params/moments/EMA on meshes with a 'model' axis."""
+        if not self.tp:
+            return replicated(self.mesh)
+        tp = lambda t: tp_param_sharding(self.mesh, t)
+        return TrainState(
+            tp(state.params),
+            tp(state.opt_state),
+            replicated(self.mesh),
+            tp(state.ema_params) if state.ema_params is not None else None,
+        )
+
     def init_state(self, key: jax.Array) -> TrainState:
         params = self.model.init_params(key)
         opt_state = self.optimizer.init(params)
@@ -149,7 +184,7 @@ class Trainer:
         ema = (jax.tree.map(lambda x: jnp.array(x, copy=True), params)
                if self.ema_decay > 0 else None)
         state = TrainState(params, opt_state, jnp.asarray(0, jnp.int32), ema)
-        return jax.device_put(state, replicated(self.mesh))
+        return jax.device_put(state, self._state_sharding(state))
 
     def _put(self, batch: dict) -> dict:
         """Pad the leading dim to a mesh-size multiple (padded rows fully
@@ -197,7 +232,7 @@ class Trainer:
         )
         if ckpt.get("scheduler") is not None:
             self.scheduler.load_state_dict(ckpt["scheduler"])
-        return jax.device_put(state, replicated(self.mesh))
+        return jax.device_put(state, self._state_sharding(state))
 
 
 def save_checkpoint(path, state: TrainState, model_config=None, scheduler=None,

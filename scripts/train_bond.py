@@ -22,7 +22,7 @@ from moldiff_tpu.data.dataset import get_dataset
 from moldiff_tpu.data.featurize import MolFeaturizer
 from moldiff_tpu.data.loader import BucketedLoader
 from moldiff_tpu.models.bond_predictor import BondPredictor
-from moldiff_tpu.parallel.mesh import make_mesh
+from moldiff_tpu.parallel.mesh import make_mesh_from_config
 from moldiff_tpu.train.optim import get_lr
 from moldiff_tpu.train.trainer import Trainer
 from moldiff_tpu.utils.config import load_config
@@ -64,7 +64,11 @@ def main(argv=None):
         num_node_types=featurizer.num_node_types,
         num_edge_types=featurizer.num_edge_types,
     )
-    mesh = make_mesh(args.num_devices or config.get("parallel", {}).get("num_devices"))
+    par = dict(config.get("parallel", {}) or {})
+    if args.num_devices:
+        par["num_devices"] = args.num_devices
+    # parallel: {num_devices, graph, model} -> 1-D/2-D/3-D mesh
+    mesh = make_mesh_from_config(par)
     trainer = Trainer(model, config.train, mesh=mesh)
 
     key = jax.random.key(config.train.seed)
