@@ -381,6 +381,119 @@ def init_node_edge_net(key, node_dim: int, edge_dim: int, **denoiser_cfg):
     return {"blocks": stacked}, static
 
 
+def dist_features(pos_node, static, compute_dtype, pair_sharding=None):
+    """(smeared distances, rel vectors, distances) for a position tensor.
+
+    Reference graph.py:351-357 (distance recompute + Gaussian smearing)."""
+    smearing = GaussianSmearing(
+        start=static["start"], stop=static["cutoff"],
+        num_gaussians=static["num_gaussians"], type_="exp",
+    )
+    rel = pos_node[:, :, None, :] - pos_node[:, None, :, :]
+    dist = safe_distance(rel)
+    h_dist = smearing(dist).astype(compute_dtype)
+    if pair_sharding is not None:
+        h_dist = jax.lax.with_sharding_constraint(h_dist, pair_sharding)
+    return h_dist, rel, dist
+
+
+def apply_block(
+    blk,
+    static,
+    h_node: jnp.ndarray,     # [B, N, Dn] (compute dtype)
+    pos_node: jnp.ndarray,   # [B, N, 3] float32
+    h_edge: jnp.ndarray,     # [B, N, N, De] (compute dtype)
+    node_time: jnp.ndarray,  # [B, 1, 1]
+    edge_time: jnp.ndarray,  # [B, 1, 1]
+    pair_mask: jnp.ndarray,  # [B, N, N]
+    dist0=None,              # precomputed (h_dist, rel, dist) when positions
+                             # are frozen (update_pos=False)
+    pair_sharding=None,
+):
+    """ONE NodeEdgeNet block (the loop body of reference graph.py:348-367):
+    edge embed -> NodeBlock -> EdgeBlock -> PosUpdate, all residual.
+
+    Module-level so both the sequential scan (:func:`node_edge_net`) and the
+    pipeline-parallel executor (parallel/pipeline.py) share the exact same
+    math. Inputs must already be in the compute dtype (the callers cast).
+    Returns ``(h_node, pos_node, h_edge)``.
+    """
+    update_edge = static["update_edge"]
+    update_pos = static["update_pos"]
+
+    def constrain(arr):
+        if pair_sharding is not None and arr.ndim >= 3:
+            return jax.lax.with_sharding_constraint(arr, pair_sharding)
+        return arr
+
+    if update_pos or dist0 is None:
+        h_dist, rel_vec, distance = dist_features(
+            pos_node, static, h_edge.dtype, pair_sharding
+        )
+    else:
+        h_dist, rel_vec, distance = dist0
+
+    # whole-block fused Pallas kernel (TPU): edge_emb + NodeBlock +
+    # EdgeBlock + PosUpdate per molecule group, intermediates in VMEM
+    fuse_block = (
+        static.get("fuse_block", False)
+        and update_edge and update_pos and static["use_gate"]
+        and pair_sharding is None
+    )
+    if fuse_block:
+        from ..ops.pallas_kernels import fused_block_tpu
+
+        h_node, h_edge_i, pos_delta = fused_block_tpu(
+            blk, h_node, h_edge, h_dist, rel_vec, distance,
+            node_time, pair_mask,
+        )
+        return h_node, pos_node + pos_delta, h_edge_i
+
+    if update_edge:
+        # implicit concat [h_edge ‖ h_dist] (both O(N^2); split matmul
+        # just avoids materializing the concat copy)
+        h_edge_i = constrain(linear_parts(
+            blk["edge_emb"], (h_edge, h_dist),
+            (h_edge.shape[-1], h_dist.shape[-1]),
+        ))
+    else:
+        h_edge_i = constrain(linear(blk["edge_emb"], h_dist))
+
+    use_pallas = static.get("use_pallas", False) and pair_sharding is None
+    fuse_edge = (
+        static.get("fuse_edge", False)
+        and not use_pallas
+        and pair_sharding is None
+    )
+    if fuse_edge:
+        pre = fused_edge_products(blk, h_edge_i, update_edge)
+        node_pre = {"edge_net": pre["nb_edge"]}
+        if "nb_gate" in pre:
+            node_pre["gate"] = pre["nb_gate"]
+    else:
+        pre, node_pre = {}, None
+
+    h_node_delta = node_block(
+        blk["node_block"], h_node, h_edge_i, node_time, pair_mask,
+        # pallas kernel and GSPMD pair-sharding are mutually exclusive
+        use_pallas=use_pallas,
+        edge_pre=node_pre,
+    )
+    if update_edge:
+        h_edge_i = h_edge_i + edge_block(
+            blk["edge_block"], h_edge_i, h_node, edge_time, pair_mask,
+            edge_pre=pre if fuse_edge else None,
+        )
+    h_node = h_node + h_node_delta
+    if update_pos:
+        pos_node = pos_node + pos_update(
+            blk["pos_block"], h_node, h_edge_i, rel_vec, distance,
+            edge_time, pair_mask,
+            fuse_edge=fuse_edge,
+        )
+    return h_node, pos_node, h_edge_i
+
+
 def node_edge_net(
     params,
     static,
@@ -404,11 +517,6 @@ def node_edge_net(
     with jax.checkpoint per block to bound activation memory of the O(N^2)
     edge tensors under autodiff.
     """
-    smearing = GaussianSmearing(
-        start=static["start"], stop=static["cutoff"],
-        num_gaussians=static["num_gaussians"], type_="exp",
-    )
-    update_edge = static["update_edge"]
     update_pos = static["update_pos"]
     compute_dtype = jnp.dtype(static.get("dtype", "float32"))
     in_dtype = h_node.dtype
@@ -419,85 +527,19 @@ def node_edge_net(
         h_edge = h_edge.astype(compute_dtype)
         params = jax.tree.map(cast, params)
 
-    def constrain(arr):
-        if pair_sharding is not None and arr.ndim >= 3:
-            return jax.lax.with_sharding_constraint(arr, pair_sharding)
-        return arr
-
-    def dist_feats(pos):
-        rel = pos[:, :, None, :] - pos[:, None, :, :]
-        dist = safe_distance(rel)
-        return constrain(smearing(dist).astype(compute_dtype)), rel, dist
-
     # distances are recomputed per block only when positions move
     # (reference graph.py:351-357); otherwise computed once up front.
-    h_dist0, rel0, dist0 = dist_feats(pos_node)
-
-    # whole-block fused Pallas kernel (TPU): edge_emb + NodeBlock +
-    # EdgeBlock + PosUpdate per molecule group, intermediates in VMEM
-    fuse_block = (
-        static.get("fuse_block", False)
-        and update_edge and update_pos and static["use_gate"]
-        and pair_sharding is None
-    )
+    dist0 = (None if update_pos else
+             dist_features(pos_node, static, compute_dtype, pair_sharding))
 
     def block_fn(carry, blk):
         h_node, pos_node, h_edge = carry
-        if update_pos:
-            h_dist, rel_vec, distance = dist_feats(pos_node)
-        else:
-            h_dist, rel_vec, distance = h_dist0, rel0, dist0
-        if fuse_block:
-            from ..ops.pallas_kernels import fused_block_tpu
-
-            h_node, h_edge_i, pos_delta = fused_block_tpu(
-                blk, h_node, h_edge, h_dist, rel_vec, distance,
-                node_time, pair_mask,
-            )
-            return (h_node, pos_node + pos_delta, h_edge_i), None
-        if update_edge:
-            # implicit concat [h_edge ‖ h_dist] (both O(N^2); split matmul
-            # just avoids materializing the concat copy)
-            h_edge_i = constrain(linear_parts(
-                blk["edge_emb"], (h_edge, h_dist),
-                (h_edge.shape[-1], h_dist.shape[-1]),
-            ))
-        else:
-            h_edge_i = constrain(linear(blk["edge_emb"], h_dist))
-
-        use_pallas = static.get("use_pallas", False) and pair_sharding is None
-        fuse_edge = (
-            static.get("fuse_edge", False)
-            and not use_pallas
-            and pair_sharding is None
+        out = apply_block(
+            blk, static, h_node, pos_node, h_edge,
+            node_time, edge_time, pair_mask,
+            dist0=dist0, pair_sharding=pair_sharding,
         )
-        if fuse_edge:
-            pre = fused_edge_products(blk, h_edge_i, update_edge)
-            node_pre = {"edge_net": pre["nb_edge"]}
-            if "nb_gate" in pre:
-                node_pre["gate"] = pre["nb_gate"]
-        else:
-            pre, node_pre = {}, None
-
-        h_node_delta = node_block(
-            blk["node_block"], h_node, h_edge_i, node_time, pair_mask,
-            # pallas kernel and GSPMD pair-sharding are mutually exclusive
-            use_pallas=use_pallas,
-            edge_pre=node_pre,
-        )
-        if update_edge:
-            h_edge_i = h_edge_i + edge_block(
-                blk["edge_block"], h_edge_i, h_node, edge_time, pair_mask,
-                edge_pre=pre if fuse_edge else None,
-            )
-        h_node = h_node + h_node_delta
-        if update_pos:
-            pos_node = pos_node + pos_update(
-                blk["pos_block"], h_node, h_edge_i, rel_vec, distance,
-                edge_time, pair_mask,
-                fuse_edge=static.get("fuse_edge", False) and pair_sharding is None,
-            )
-        return (h_node, pos_node, h_edge_i), None
+        return out, None
 
     if remat is None:
         remat = static.get("remat", True)

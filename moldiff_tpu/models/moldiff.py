@@ -129,6 +129,10 @@ class MolDiff:
         # optional NamedSharding hint for the dense pair tensors (set by the
         # trainer when running on a ('data', 'graph') mesh)
         self.pair_sharding = None
+        # optional (mesh, num_microbatches) set by the trainer on a
+        # ('data', 'pipe') mesh: the denoiser then runs as a GPipe pipeline
+        # over its stacked blocks (parallel/pipeline.py)
+        self.pipeline_cfg = None
 
     # -- params --------------------------------------------------------------
 
@@ -183,17 +187,28 @@ class MolDiff:
         )
         t_norm = (t_float / self.num_timesteps)[:, None, None]  # [B,1,1]
 
-        h_node, pos_out, h_edge = node_edge_net(
-            params["denoiser"],
-            self.denoiser_static,
-            h_node,
-            pos_pert,
-            h_edge,
-            node_time=t_norm,
-            edge_time=t_norm,
-            pair_mask=pair_mask,
-            pair_sharding=self.pair_sharding,
-        )
+        if self.pipeline_cfg is not None:
+            from ..parallel.pipeline import pipeline_denoiser
+
+            pipe_mesh, n_micro = self.pipeline_cfg
+            h_node, pos_out, h_edge = pipeline_denoiser(
+                params["denoiser"], self.denoiser_static,
+                h_node, pos_pert, h_edge,
+                node_time=t_norm, edge_time=t_norm, pair_mask=pair_mask,
+                mesh=pipe_mesh, num_microbatches=n_micro,
+            )
+        else:
+            h_node, pos_out, h_edge = node_edge_net(
+                params["denoiser"],
+                self.denoiser_static,
+                h_node,
+                pos_pert,
+                h_edge,
+                node_time=t_norm,
+                edge_time=t_norm,
+                pair_mask=pair_mask,
+                pair_sharding=self.pair_sharding,
+            )
 
         pred_node = mlp(params["node_decoder"], h_node)
         h_half_sym = graph_ops.dense_to_halfedge(graph_ops.symmetrize_dense(h_edge))

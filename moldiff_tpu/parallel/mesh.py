@@ -77,8 +77,9 @@ def make_mesh_from_config(parallel_cfg, devices=None) -> Mesh:
 
     Keys (all optional): ``num_devices`` (total; null = all visible),
     ``graph`` (within-graph axis size, default 1), ``model`` (tensor-
-    parallel axis size, default 1). The data axis takes the rest:
-    ``data = num_devices // (graph * model)``.
+    parallel axis size, default 1), ``pipe`` (pipeline-parallel axis size,
+    default 1; exclusive with graph/model). The data axis takes the rest:
+    ``data = num_devices // (graph * model * pipe)``.
     """
     cfg = parallel_cfg or {}
     get = cfg.get if hasattr(cfg, "get") else lambda k, d=None: d
@@ -87,11 +88,18 @@ def make_mesh_from_config(parallel_cfg, devices=None) -> Mesh:
     total = get("num_devices") or len(devices)
     n_graph = int(get("graph", 1) or 1)
     n_model = int(get("model", 1) or 1)
-    if total % (n_graph * n_model) != 0:
+    n_pipe = int(get("pipe", 1) or 1)
+    if n_pipe > 1 and (n_graph > 1 or n_model > 1):
+        raise ValueError("pipe is exclusive with graph/model axes")
+    if total % (n_graph * n_model * n_pipe) != 0:
         raise ValueError(
-            f"num_devices={total} not divisible by graph*model="
-            f"{n_graph * n_model}"
+            f"num_devices={total} not divisible by graph*model*pipe="
+            f"{n_graph * n_model * n_pipe}"
         )
+    if n_pipe > 1:
+        from .pipeline import make_mesh_pipe
+
+        return make_mesh_pipe(total // n_pipe, n_pipe, devices=devices)
     n_data = total // (n_graph * n_model)
     if n_model > 1:
         return make_mesh_3d(n_data, n_graph, n_model, devices=devices)

@@ -33,6 +33,7 @@ from ..parallel.mesh import (
     tp_enabled,
     tp_param_sharding,
 )
+from ..parallel.pipeline import pipe_enabled, pipe_param_sharding
 from .optim import get_lr, get_optimizer, get_scheduler, set_lr
 
 
@@ -116,21 +117,32 @@ class Trainer:
         # GSPMD keeps the all-reduce per row-parallel matmul rather than
         # falling back to replication.
         self.tp = tp_enabled(self.mesh)
+        # pipeline parallelism ('pipe' mesh axis): the denoiser's stacked
+        # block params (+ their grads/moments) live sharded over 'pipe' and
+        # the model's forward runs the GPipe executor (parallel/pipeline.py)
+        self.pp = pipe_enabled(self.mesh) and hasattr(model, "pipeline_cfg")
+        if self.pp:
+            model.pipeline_cfg = (
+                self.mesh, train_config.get("num_microbatches"))
         mesh_ = self.mesh
-        tp_on = self.tp
+        tp_on, pp_on = self.tp, self.pp
 
         def constrain_tp(tree):
-            if not tp_on:
-                return tree
-            return jax.lax.with_sharding_constraint(
-                tree, tp_param_sharding(mesh_, tree)
-            )
+            if tp_on:
+                tree = jax.lax.with_sharding_constraint(
+                    tree, tp_param_sharding(mesh_, tree)
+                )
+            if pp_on:
+                tree = jax.lax.with_sharding_constraint(
+                    tree, pipe_param_sharding(mesh_, tree)
+                )
+            return tree
 
         self.ema_decay = float(train_config.get("ema_decay", 0.0) or 0.0)
         ema_decay = self.ema_decay
 
         jit_shardings = (
-            {} if self.tp
+            {} if (self.tp or self.pp)
             else {"in_shardings": (rep, data, rep), "out_shardings": rep}
         )
 
@@ -165,15 +177,17 @@ class Trainer:
 
     def _state_sharding(self, state: TrainState):
         """Placement pytree for a TrainState: replicated on DP meshes;
-        TP-sharded params/moments/EMA on meshes with a 'model' axis."""
-        if not self.tp:
+        TP-sharded params/moments/EMA on meshes with a 'model' axis;
+        stacked-block leaves 'pipe'-sharded on pipeline meshes."""
+        if not (self.tp or self.pp):
             return replicated(self.mesh)
-        tp = lambda t: tp_param_sharding(self.mesh, t)
+        shard = (tp_param_sharding if self.tp else pipe_param_sharding)
+        sh = lambda t: shard(self.mesh, t)
         return TrainState(
-            tp(state.params),
-            tp(state.opt_state),
+            sh(state.params),
+            sh(state.opt_state),
             replicated(self.mesh),
-            tp(state.ema_params) if state.ema_params is not None else None,
+            sh(state.ema_params) if state.ema_params is not None else None,
         )
 
     def init_state(self, key: jax.Array) -> TrainState:
