@@ -79,7 +79,10 @@ def make_mesh_from_config(parallel_cfg, devices=None) -> Mesh:
     ``graph`` (within-graph axis size, default 1), ``model`` (tensor-
     parallel axis size, default 1), ``pipe`` (pipeline-parallel axis size,
     default 1; exclusive with graph/model). The data axis takes the rest:
-    ``data = num_devices // (graph * model * pipe)``.
+    ``data = num_devices // (graph * model * pipe)``. A ``fsdp: true`` key
+    does not change the mesh — it makes the Trainer shard params/moments
+    over 'data' at rest (:func:`fsdp_param_sharding`); the CLIs pass it to
+    ``Trainer(fsdp=...)``.
     """
     cfg = parallel_cfg or {}
     get = cfg.get if hasattr(cfg, "get") else lambda k, d=None: d
@@ -193,6 +196,39 @@ def tp_param_sharding(mesh: Mesh, tree):
         return rep
 
     return walk(tree)
+
+
+def fsdp_param_sharding(mesh: Mesh, tree):
+    """ZeRO-3-style fully-sharded-data-parallel placement pytree.
+
+    Every array leaf (params, grads, optax m/v moments, EMA copies alike)
+    is sharded over the 'data' axis on its LARGEST divisible dimension, so
+    parameter + optimizer memory per device drops ~linearly with the data
+    axis; GSPMD all-gathers each leaf just-in-time for the matmul that
+    consumes it and reduce-scatters the corresponding grad. The reference
+    has no distributed support at all (SURVEY.md section 2.3); at MolDiff's
+    5.5M params FSDP is capability breadth — the mechanism is what scales.
+
+    Scalars and leaves with no dimension divisible by the axis size stay
+    replicated; GSPMD resolves mixtures, so correctness never depends on
+    which leaves qualify (same contract as :func:`tp_param_sharding`).
+    """
+    rep = NamedSharding(mesh, P())
+    n_data = mesh.shape[DATA_AXIS] if DATA_AXIS in mesh.axis_names else 1
+
+    def place(leaf):
+        if n_data <= 1 or not hasattr(leaf, "ndim") or leaf.ndim == 0:
+            return rep
+        divisible = [d for d in range(leaf.ndim) if leaf.shape[d] % n_data == 0
+                     and leaf.shape[d] >= n_data]
+        if not divisible:
+            return rep
+        dim = max(divisible, key=lambda d: leaf.shape[d])
+        spec = [None] * leaf.ndim
+        spec[dim] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree.map(place, tree)
 
 
 def pair_sharding(mesh: Mesh) -> Optional[NamedSharding]:

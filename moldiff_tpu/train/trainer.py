@@ -26,7 +26,9 @@ import optax
 from jax.sharding import Mesh
 
 from ..parallel.mesh import (
+    DATA_AXIS,
     batch_sharding,
+    fsdp_param_sharding,
     make_mesh,
     pad_batch_to_multiple,
     replicated,
@@ -85,6 +87,7 @@ class Trainer:
         model,
         train_config,
         mesh: Optional[Mesh] = None,
+        fsdp: bool = False,
     ):
         self.model = model
         self.config = train_config
@@ -124,8 +127,21 @@ class Trainer:
         if self.pp:
             model.pipeline_cfg = (
                 self.mesh, train_config.get("num_microbatches"))
+        # FSDP (ZeRO-3): params + grads + adam moments + EMA sharded over
+        # 'data' at rest (parallel/mesh.py:fsdp_param_sharding); GSPMD
+        # all-gathers leaves for compute and reduce-scatters the grads.
+        self.fsdp = (
+            bool(fsdp)
+            and DATA_AXIS in self.mesh.axis_names
+            and self.mesh.shape[DATA_AXIS] > 1
+        )
+        if self.fsdp and (self.tp or self.pp):
+            raise ValueError(
+                "fsdp is exclusive with the 'model'/'pipe' axes: both shard "
+                "the same param leaves with conflicting layouts"
+            )
         mesh_ = self.mesh
-        tp_on, pp_on = self.tp, self.pp
+        tp_on, pp_on, fsdp_on = self.tp, self.pp, self.fsdp
 
         def constrain_tp(tree):
             if tp_on:
@@ -136,13 +152,17 @@ class Trainer:
                 tree = jax.lax.with_sharding_constraint(
                     tree, pipe_param_sharding(mesh_, tree)
                 )
+            if fsdp_on:
+                tree = jax.lax.with_sharding_constraint(
+                    tree, fsdp_param_sharding(mesh_, tree)
+                )
             return tree
 
         self.ema_decay = float(train_config.get("ema_decay", 0.0) or 0.0)
         ema_decay = self.ema_decay
 
         jit_shardings = (
-            {} if (self.tp or self.pp)
+            {} if (self.tp or self.pp or self.fsdp)
             else {"in_shardings": (rep, data, rep), "out_shardings": rep}
         )
 
@@ -178,10 +198,15 @@ class Trainer:
     def _state_sharding(self, state: TrainState):
         """Placement pytree for a TrainState: replicated on DP meshes;
         TP-sharded params/moments/EMA on meshes with a 'model' axis;
-        stacked-block leaves 'pipe'-sharded on pipeline meshes."""
-        if not (self.tp or self.pp):
+        stacked-block leaves 'pipe'-sharded on pipeline meshes;
+        largest-dim 'data'-sharded under FSDP."""
+        if not (self.tp or self.pp or self.fsdp):
             return replicated(self.mesh)
-        shard = (tp_param_sharding if self.tp else pipe_param_sharding)
+        shard = (
+            tp_param_sharding if self.tp
+            else pipe_param_sharding if self.pp
+            else fsdp_param_sharding
+        )
         sh = lambda t: shard(self.mesh, t)
         return TrainState(
             sh(state.params),

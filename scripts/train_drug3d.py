@@ -78,7 +78,8 @@ def main(argv=None):
         par["num_devices"] = args.num_devices
     # parallel: {num_devices, graph, model} -> 1-D/2-D/3-D mesh
     mesh = make_mesh_from_config(par)
-    trainer = Trainer(model, config.train, mesh=mesh)
+    trainer = Trainer(model, config.train, mesh=mesh,
+                      fsdp=bool(par.get("fsdp", False)))
 
     key = jax.random.key(config.train.seed)
     key, k_init = jax.random.split(key)
