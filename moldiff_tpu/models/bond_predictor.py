@@ -93,6 +93,7 @@ class BondPredictor:
         pos_node: jnp.ndarray,   # [B, N, 3]
         t: Optional[jnp.ndarray],  # [B] int32 (None if num_timesteps == 0)
         node_mask: jnp.ndarray,  # [B, N]
+        return_moe_aux: bool = False,
     ) -> jnp.ndarray:
         """Predict bond-type logits per half-edge -> [B, E, Ke].
 
@@ -137,7 +138,7 @@ class BondPredictor:
             h_edge_emb = embed_edge_raw(params["edge_embedder"])
             t_norm = jnp.zeros((b, 1, 1), dtype=jnp.float32)
 
-        h_node_out, _, h_edge_out = node_edge_net(
+        out = node_edge_net(
             params["encoder"],
             self.encoder_static,
             h_node_emb,
@@ -147,17 +148,26 @@ class BondPredictor:
             edge_time=t_norm,
             pair_mask=pair_mask,
             pair_sharding=self.pair_sharding,
+            node_mask=node_mask,
         )
+        moe_aux = None
+        if self.encoder_static.get("moe") is not None:
+            h_node_out, _, h_edge_out, moe_aux = out
+        else:
+            h_node_out, _, h_edge_out = out
 
         iu, ju = graph_ops.triu_indices(n)
         h_half_sym = graph_ops.dense_to_halfedge(
             graph_ops.symmetrize_dense(h_edge_out)
         )
         h_node_pair = h_node_out[:, iu] + h_node_out[:, ju]
-        return mlp(
+        pred = mlp(
             params["edge_decoder"],
             jnp.concatenate([h_half_sym, h_node_pair], axis=-1),
         )
+        if return_moe_aux:
+            return pred, moe_aux
+        return pred
 
     def get_loss(
         self,
@@ -186,7 +196,9 @@ class BondPredictor:
             pos_pert = node_pos
             h_node = jax.nn.one_hot(node_type, self.num_node_types, dtype=jnp.float32)
 
-        pred = self.forward(params, h_node, pos_pert, t, node_mask)  # [B,E,Ke]
+        pred, moe_aux = self.forward(
+            params, h_node, pos_pert, t, node_mask, return_moe_aux=True
+        )  # [B,E,Ke]
 
         log_prob = jax.nn.log_softmax(pred, axis=-1)
         nll = -jnp.take_along_axis(log_prob, halfedge_type[..., None], axis=-1).squeeze(-1)
@@ -197,4 +209,12 @@ class BondPredictor:
             (jnp.argmax(pred, -1) == halfedge_type).astype(jnp.float32),
             halfedge_mask * (halfedge_type > 0),
         )
-        return loss_edge, {"loss": loss_edge, "loss_edge": loss_edge, "acc_bond": acc_real}
+        aux = {"loss": loss_edge, "loss_edge": loss_edge, "acc_bond": acc_real}
+        loss = loss_edge
+        if moe_aux is not None:
+            aux["loss_moe"] = (
+                self.encoder_static["moe"]["aux_weight"] * moe_aux
+            )
+            loss = loss + aux["loss_moe"]
+            aux["loss"] = loss
+        return loss, aux

@@ -29,6 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from .moe import normalize_moe_cfg
 from .nn import (
     GaussianSmearing,
     init_layernorm,
@@ -47,10 +48,18 @@ from .nn import (
 # sub-blocks
 # ---------------------------------------------------------------------------
 
-def init_node_block(key, node_dim, edge_dim, hidden_dim, use_gate):
+def init_node_block(key, node_dim, edge_dim, hidden_dim, use_gate, moe=None):
     ks = jax.random.split(key, 6)
+    if moe:
+        from .moe import init_moe_mlp
+
+        node_net = init_moe_mlp(
+            ks[0], node_dim, hidden_dim, hidden_dim, moe["num_experts"]
+        )
+    else:
+        node_net = init_mlp(ks[0], node_dim, hidden_dim, hidden_dim)
     p = {
-        "node_net": init_mlp(ks[0], node_dim, hidden_dim, hidden_dim),
+        "node_net": node_net,
         "edge_net": init_mlp(ks[1], edge_dim, hidden_dim, hidden_dim),
         "msg_net": init_linear(ks[2], hidden_dim, hidden_dim),
         "centroid_lin": init_linear(ks[3], node_dim, hidden_dim),
@@ -63,7 +72,7 @@ def init_node_block(key, node_dim, edge_dim, hidden_dim, use_gate):
 
 
 def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False,
-               edge_pre: Optional[dict] = None):
+               edge_pre: Optional[dict] = None, node_mask=None, moe_cfg=None):
     """x: [B,N,Dn], edge_attr: [B,N,N,De], node_time: [B,1,1], pair_mask: [B,N,N].
 
     Reference graph.py:29-55. Row (receiver) = axis 1, col (sender) = axis 2.
@@ -78,6 +87,17 @@ def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False,
     same per-column math as computing them here.
     """
     dt = x.dtype
+    moe_aux = None
+    if moe_cfg is not None and "experts" in p["node_net"]:
+        # routed expert bank in place of the per-atom MLP (models/moe.py);
+        # the return value becomes (out, moe_aux). Requires node_mask so
+        # padded atoms never consume expert capacity. Exclusive with the
+        # fused Pallas kernel.
+        from .moe import moe_mlp
+
+        assert node_mask is not None, "MoE node_block needs node_mask"
+        assert not use_pallas, "MoE is exclusive with use_pallas"
+        h_moe, moe_aux = moe_mlp(p["node_net"], x, node_mask, moe_cfg)
     if use_pallas and "gate" in p:
         from ..ops.pallas_kernels import node_block_aggregate_tpu
 
@@ -86,7 +106,8 @@ def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False,
             x, edge_attr, node_time, pair_mask,
         )
     else:
-        h_node = mlp(p["node_net"], x)                      # [B,N,H]
+        h_node = (h_moe if moe_aux is not None
+                  else mlp(p["node_net"], x))               # [B,N,H]
         if edge_pre is not None:
             h_edge = mlp_parts(p["edge_net"], (), (edge_attr.shape[-1],),
                                pre=edge_pre["edge_net"])    # [B,N,N,H]
@@ -116,7 +137,8 @@ def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False,
         aggr = jnp.sum(msg, axis=2, dtype=jnp.float32).astype(dt)
     out = linear(p["centroid_lin"], x) + aggr
     out = layernorm(p["ln"], out)
-    return linear(p["out"], jax.nn.relu(out))
+    out = linear(p["out"], jax.nn.relu(out))
+    return out if moe_aux is None else (out, moe_aux)
 
 
 def init_bond_ffn(key, bond_dim, node_dim, inter_dim, use_gate, out_dim=None):
@@ -327,6 +349,7 @@ def denoiser_static_config(
     use_pallas: bool = False,
     fuse_block: bool = False,
     fuse_edge: bool = False,
+    moe=None,
     **_unused,
 ) -> dict:
     """Static (non-trainable) architecture config; defaults mirror the
@@ -348,6 +371,10 @@ def denoiser_static_config(
         "use_pallas": use_pallas,
         "fuse_block": fuse_block,
         "fuse_edge": fuse_edge,
+        # optional mixture-of-experts node MLP (models/moe.py); None keeps
+        # the reference-exact dense MLP. Dict: {num_experts, top_k,
+        # capacity_factor, aux_weight}.
+        "moe": normalize_moe_cfg(moe),
     }
 
 
@@ -369,7 +396,8 @@ def init_node_edge_net(key, node_dim: int, edge_dim: int, **denoiser_cfg):
     for bk in jax.random.split(key, num_blocks):
         ks = jax.random.split(bk, 4)
         blk = {
-            "node_block": init_node_block(ks[0], node_dim, edge_dim, node_dim, use_gate),
+            "node_block": init_node_block(ks[0], node_dim, edge_dim, node_dim,
+                                          use_gate, moe=static["moe"]),
             "edge_emb": init_linear(ks[1], input_edge_dim, edge_dim),
         }
         if update_edge:
@@ -409,6 +437,7 @@ def apply_block(
     dist0=None,              # precomputed (h_dist, rel, dist) when positions
                              # are frozen (update_pos=False)
     pair_sharding=None,
+    node_mask=None,          # [B, N]; required when static['moe'] is set
 ):
     """ONE NodeEdgeNet block (the loop body of reference graph.py:348-367):
     edge embed -> NodeBlock -> EdgeBlock -> PosUpdate, all residual.
@@ -416,7 +445,8 @@ def apply_block(
     Module-level so both the sequential scan (:func:`node_edge_net`) and the
     pipeline-parallel executor (parallel/pipeline.py) share the exact same
     math. Inputs must already be in the compute dtype (the callers cast).
-    Returns ``(h_node, pos_node, h_edge)``.
+    Returns ``(h_node, pos_node, h_edge)`` — plus a trailing ``moe_aux``
+    scalar when ``static['moe']`` is set.
     """
     update_edge = static["update_edge"]
     update_pos = static["update_pos"]
@@ -439,6 +469,7 @@ def apply_block(
         static.get("fuse_block", False)
         and update_edge and update_pos and static["use_gate"]
         and pair_sharding is None
+        and static.get("moe") is None  # kernel inlines the dense node MLP
     )
     if fuse_block:
         from ..ops.pallas_kernels import fused_block_tpu
@@ -473,12 +504,17 @@ def apply_block(
     else:
         pre, node_pre = {}, None
 
+    moe_cfg = static.get("moe")
     h_node_delta = node_block(
         blk["node_block"], h_node, h_edge_i, node_time, pair_mask,
         # pallas kernel and GSPMD pair-sharding are mutually exclusive
-        use_pallas=use_pallas,
+        use_pallas=use_pallas and moe_cfg is None,
         edge_pre=node_pre,
+        node_mask=node_mask, moe_cfg=moe_cfg,
     )
+    moe_aux = None
+    if moe_cfg is not None:
+        h_node_delta, moe_aux = h_node_delta
     if update_edge:
         h_edge_i = h_edge_i + edge_block(
             blk["edge_block"], h_edge_i, h_node, edge_time, pair_mask,
@@ -491,6 +527,8 @@ def apply_block(
             edge_time, pair_mask,
             fuse_edge=fuse_edge,
         )
+    if moe_cfg is not None:
+        return h_node, pos_node, h_edge_i, moe_aux
     return h_node, pos_node, h_edge_i
 
 
@@ -509,8 +547,11 @@ def node_edge_net(
     pair_sharding=None,           # NamedSharding hint for [B,N,N,H] pair
                                   # tensors (parallel.mesh.pair_sharding);
                                   # GSPMD inserts the cross-shard reductions
+    node_mask=None,               # [B, N]; required when static['moe'] set
 ):
-    """Forward pass; returns (h_node, pos_node, h_edge).
+    """Forward pass; returns (h_node, pos_node, h_edge), plus a trailing
+    ``moe_aux`` load-balance scalar (mean over blocks) when
+    ``static['moe']`` is set.
 
     Reference graph.py:348-367, as ONE ``lax.scan`` over the stacked block
     params (compile-time: one block body, not num_blocks inlined copies),
@@ -532,13 +573,17 @@ def node_edge_net(
     dist0 = (None if update_pos else
              dist_features(pos_node, static, compute_dtype, pair_sharding))
 
+    moe_on = static.get("moe") is not None
+
     def block_fn(carry, blk):
         h_node, pos_node, h_edge = carry
         out = apply_block(
             blk, static, h_node, pos_node, h_edge,
             node_time, edge_time, pair_mask,
-            dist0=dist0, pair_sharding=pair_sharding,
+            dist0=dist0, pair_sharding=pair_sharding, node_mask=node_mask,
         )
+        if moe_on:
+            return out[:3], out[3]
         return out, None
 
     if remat is None:
@@ -555,7 +600,10 @@ def node_edge_net(
         }[static.get("remat_policy", "none")]
         block_fn = jax.checkpoint(block_fn, static_argnums=(), policy=policy)
 
-    (h_node, pos_node, h_edge), _ = jax.lax.scan(
+    (h_node, pos_node, h_edge), aux_ys = jax.lax.scan(
         block_fn, (h_node, pos_node, h_edge), params["blocks"]
     )
+    if moe_on:
+        return (h_node.astype(in_dtype), pos_node,
+                h_edge.astype(in_dtype), jnp.mean(aux_ys))
     return h_node.astype(in_dtype), pos_node, h_edge.astype(in_dtype)

@@ -163,8 +163,12 @@ class MolDiff:
         h_halfedge_pert: jnp.ndarray,  # [B, E, Ke]
         t: jnp.ndarray,                # [B] int32
         node_mask: jnp.ndarray,        # [B, N] float
+        return_moe_aux: bool = False,
     ) -> MolDiffPreds:
-        """Predict clean (t=0) quantities. Reference model.py:204-234."""
+        """Predict clean (t=0) quantities. Reference model.py:204-234.
+
+        ``return_moe_aux``: also return the MoE load-balance scalar (None
+        for dense configs) — used by get_loss; sampling ignores it."""
         b, n = h_node_pert.shape[:2]
         pair_mask = graph_ops.pair_mask_from_node_mask(node_mask)
 
@@ -187,6 +191,7 @@ class MolDiff:
         )
         t_norm = (t_float / self.num_timesteps)[:, None, None]  # [B,1,1]
 
+        moe_aux = None
         if self.pipeline_cfg is not None:
             from ..parallel.pipeline import pipeline_denoiser
 
@@ -198,7 +203,7 @@ class MolDiff:
                 mesh=pipe_mesh, num_microbatches=n_micro,
             )
         else:
-            h_node, pos_out, h_edge = node_edge_net(
+            out = node_edge_net(
                 params["denoiser"],
                 self.denoiser_static,
                 h_node,
@@ -208,12 +213,20 @@ class MolDiff:
                 edge_time=t_norm,
                 pair_mask=pair_mask,
                 pair_sharding=self.pair_sharding,
+                node_mask=node_mask,
             )
+            if self.denoiser_static.get("moe") is not None:
+                h_node, pos_out, h_edge, moe_aux = out
+            else:
+                h_node, pos_out, h_edge = out
 
         pred_node = mlp(params["node_decoder"], h_node)
         h_half_sym = graph_ops.dense_to_halfedge(graph_ops.symmetrize_dense(h_edge))
         pred_halfedge = mlp(params["edge_decoder"], h_half_sym)
-        return MolDiffPreds(pred_node, pos_out, pred_halfedge)
+        preds = MolDiffPreds(pred_node, pos_out, pred_halfedge)
+        if return_moe_aux:
+            return preds, moe_aux
+        return preds
 
     # -- training loss ---------------------------------------------------------
 
@@ -250,7 +263,10 @@ class MolDiff:
                 halfedge_type, t, k_edge
             )
 
-        preds = self.forward(params, h_node_pert, pos_pert, h_halfedge_pert, t, node_mask)
+        preds, moe_aux = self.forward(
+            params, h_node_pert, pos_pert, h_halfedge_pert, t, node_mask,
+            return_moe_aux=True,
+        )
 
         # positions: mean over real atoms (reference uses F.mse_loss over the
         # ragged concatenation, i.e. a flat mean over real elements)
@@ -302,7 +318,15 @@ class MolDiff:
                 halfedge_mask[..., None],
             ) * 30.0
 
-        loss_total = loss_pos + loss_node + loss_edge + losses.get("loss_len", 0.0)
+        if moe_aux is not None:
+            # Switch-style load-balance loss (models/moe.py), weighted by
+            # denoiser.moe.aux_weight
+            losses["loss_moe"] = (
+                self.denoiser_static["moe"]["aux_weight"] * moe_aux
+            )
+        loss_total = (loss_pos + loss_node + loss_edge
+                      + losses.get("loss_len", 0.0)
+                      + losses.get("loss_moe", 0.0))
         losses.update(
             loss=loss_total, loss_pos=loss_pos, loss_node=loss_node, loss_edge=loss_edge
         )

@@ -19,6 +19,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 GRAPH_AXIS = "graph"  # shards the O(N^2) pair tensors' receiver axis
 MODEL_AXIS = "model"  # tensor parallelism: shards MLP hidden dims
+EXPERT_AXIS = "expert"  # expert parallelism: shards MoE expert banks
 
 
 def initialize_distributed(
@@ -72,17 +73,89 @@ def tp_enabled(mesh: Mesh) -> bool:
     return MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
 
 
+def make_mesh_expert(n_data: int, n_expert: int, devices=None) -> Mesh:
+    """2-D mesh ('data', 'expert'): batch sharded over 'data', MoE expert
+    banks sharded over 'expert' (:func:`ep_param_sharding`). The GShard
+    dispatch/combine einsums (models/moe.py) pick up the expert sharding
+    through GSPMD propagation — the token all-to-all falls out of the
+    einsum partitioning."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: n_data * n_expert]).reshape(n_data, n_expert)
+    return Mesh(devices, (DATA_AXIS, EXPERT_AXIS))
+
+
+def ep_enabled(mesh: Mesh) -> bool:
+    return EXPERT_AXIS in mesh.axis_names and mesh.shape[EXPERT_AXIS] > 1
+
+
+def ep_param_sharding(mesh: Mesh, tree):
+    """Expert-parallel sharding pytree: every leaf under an expert bank's
+    ``experts`` subtree (models/moe.py:init_moe_mlp — a dict holding both
+    ``router`` and ``experts``) is sharded over the 'expert' axis on its
+    expert dimension; routers and all non-MoE leaves stay replicated.
+
+    Expert leaves carry the expert count E at dim 0 as initialized and at
+    dim 1 once the denoiser stacks blocks ([num_blocks, E, ...]); the
+    walker reads E from the sibling router's fan-out and shards the last
+    matching leading dim. Works on params, grads, optax moments and EMA
+    alike (same contract as :func:`tp_param_sharding`).
+    """
+    rep = NamedSharding(mesh, P())
+    n_exp = mesh.shape[EXPERT_AXIS] if EXPERT_AXIS in mesh.axis_names else 1
+
+    def shard_expert_leaf(leaf, num_experts):
+        if n_exp <= 1 or num_experts % n_exp != 0:
+            return rep
+        if not hasattr(leaf, "ndim") or leaf.ndim < 1:
+            return rep
+        dims = [d for d in range(min(2, leaf.ndim))
+                if leaf.shape[d] == num_experts]
+        if not dims:
+            return rep
+        spec = [None] * leaf.ndim
+        spec[dims[-1]] = EXPERT_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    def all_rep(node):
+        return jax.tree.map(lambda _: rep, node)
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "router" in node and "experts" in node:
+                num_experts = node["router"]["w"].shape[-1]
+                out = {k: walk(v) for k, v in node.items()
+                       if k not in ("router", "experts")}
+                out["router"] = all_rep(node["router"])
+                out["experts"] = jax.tree.map(
+                    lambda leaf: shard_expert_leaf(leaf, num_experts),
+                    node["experts"],
+                )
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        if hasattr(node, "_fields"):  # NamedTuple (optax states)
+            return type(node)(*(walk(v) for v in node))
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v) for v in node)
+        if node is None:
+            return None
+        return rep
+
+    return walk(tree)
+
+
 def make_mesh_from_config(parallel_cfg, devices=None) -> Mesh:
     """Mesh from a config ``parallel:`` block.
 
     Keys (all optional): ``num_devices`` (total; null = all visible),
     ``graph`` (within-graph axis size, default 1), ``model`` (tensor-
     parallel axis size, default 1), ``pipe`` (pipeline-parallel axis size,
-    default 1; exclusive with graph/model). The data axis takes the rest:
-    ``data = num_devices // (graph * model * pipe)``. A ``fsdp: true`` key
-    does not change the mesh — it makes the Trainer shard params/moments
-    over 'data' at rest (:func:`fsdp_param_sharding`); the CLIs pass it to
-    ``Trainer(fsdp=...)``.
+    default 1; exclusive with graph/model), ``expert`` (expert-parallel
+    axis size, default 1; exclusive with the other axes). The data axis
+    takes the rest: ``data = num_devices // (graph * model * pipe *
+    expert)``. A ``fsdp: true`` key does not change the mesh — it makes
+    the Trainer shard params/moments over 'data' at rest
+    (:func:`fsdp_param_sharding`); the CLIs pass it to ``Trainer(fsdp=...)``.
     """
     cfg = parallel_cfg or {}
     get = cfg.get if hasattr(cfg, "get") else lambda k, d=None: d
@@ -92,13 +165,18 @@ def make_mesh_from_config(parallel_cfg, devices=None) -> Mesh:
     n_graph = int(get("graph", 1) or 1)
     n_model = int(get("model", 1) or 1)
     n_pipe = int(get("pipe", 1) or 1)
+    n_expert = int(get("expert", 1) or 1)
     if n_pipe > 1 and (n_graph > 1 or n_model > 1):
         raise ValueError("pipe is exclusive with graph/model axes")
-    if total % (n_graph * n_model * n_pipe) != 0:
+    if n_expert > 1 and (n_graph > 1 or n_model > 1 or n_pipe > 1):
+        raise ValueError("expert is exclusive with graph/model/pipe axes")
+    if total % (n_graph * n_model * n_pipe * n_expert) != 0:
         raise ValueError(
-            f"num_devices={total} not divisible by graph*model*pipe="
-            f"{n_graph * n_model * n_pipe}"
+            f"num_devices={total} not divisible by graph*model*pipe*expert="
+            f"{n_graph * n_model * n_pipe * n_expert}"
         )
+    if n_expert > 1:
+        return make_mesh_expert(total // n_expert, n_expert, devices=devices)
     if n_pipe > 1:
         from .pipeline import make_mesh_pipe
 

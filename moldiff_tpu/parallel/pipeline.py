@@ -120,6 +120,11 @@ def pipeline_denoiser(
     """
     from ..models.denoiser import apply_block
 
+    if static.get("moe") is not None:
+        raise ValueError(
+            "pipeline parallelism does not support MoE denoisers (the "
+            "tick loop carries no aux scalar); use the 'expert' mesh axis"
+        )
     assert PIPE_AXIS in mesh.axis_names, "mesh has no 'pipe' axis"
     n_pipe = mesh.shape[PIPE_AXIS]
     blocks = params["blocks"]

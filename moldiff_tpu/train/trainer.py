@@ -28,6 +28,8 @@ from jax.sharding import Mesh
 from ..parallel.mesh import (
     DATA_AXIS,
     batch_sharding,
+    ep_enabled,
+    ep_param_sharding,
     fsdp_param_sharding,
     make_mesh,
     pad_batch_to_multiple,
@@ -140,8 +142,18 @@ class Trainer:
                 "fsdp is exclusive with the 'model'/'pipe' axes: both shard "
                 "the same param leaves with conflicting layouts"
             )
+        # expert parallelism ('expert' mesh axis): MoE expert banks (+ their
+        # grads/moments) live sharded over 'expert'
+        # (parallel/mesh.py:ep_param_sharding); the dispatch/combine einsums
+        # pick the sharding up through GSPMD propagation.
+        self.ep = ep_enabled(self.mesh)
+        if self.ep and self.fsdp:
+            raise ValueError(
+                "fsdp is exclusive with the 'expert' axis: conflicting "
+                "layouts on expert leaves"
+            )
         mesh_ = self.mesh
-        tp_on, pp_on, fsdp_on = self.tp, self.pp, self.fsdp
+        tp_on, pp_on, fsdp_on, ep_on = self.tp, self.pp, self.fsdp, self.ep
 
         def constrain_tp(tree):
             if tp_on:
@@ -156,13 +168,17 @@ class Trainer:
                 tree = jax.lax.with_sharding_constraint(
                     tree, fsdp_param_sharding(mesh_, tree)
                 )
+            if ep_on:
+                tree = jax.lax.with_sharding_constraint(
+                    tree, ep_param_sharding(mesh_, tree)
+                )
             return tree
 
         self.ema_decay = float(train_config.get("ema_decay", 0.0) or 0.0)
         ema_decay = self.ema_decay
 
         jit_shardings = (
-            {} if (self.tp or self.pp or self.fsdp)
+            {} if (self.tp or self.pp or self.fsdp or self.ep)
             else {"in_shardings": (rep, data, rep), "out_shardings": rep}
         )
 
@@ -199,12 +215,14 @@ class Trainer:
         """Placement pytree for a TrainState: replicated on DP meshes;
         TP-sharded params/moments/EMA on meshes with a 'model' axis;
         stacked-block leaves 'pipe'-sharded on pipeline meshes;
-        largest-dim 'data'-sharded under FSDP."""
-        if not (self.tp or self.pp or self.fsdp):
+        largest-dim 'data'-sharded under FSDP; expert banks
+        'expert'-sharded on expert meshes."""
+        if not (self.tp or self.pp or self.fsdp or self.ep):
             return replicated(self.mesh)
         shard = (
             tp_param_sharding if self.tp
             else pipe_param_sharding if self.pp
+            else ep_param_sharding if self.ep
             else fsdp_param_sharding
         )
         sh = lambda t: shard(self.mesh, t)
