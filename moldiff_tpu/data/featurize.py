@@ -137,3 +137,15 @@ class MolFeaturizer:
             "atom_prob": atom_prob,
             "bond_prob": bond_prob,
         }
+
+
+def featurizer_from_config(cfg) -> MolFeaturizer:
+    """Featurizer from a train config's ``chem``/``transform`` blocks
+    (the vocabulary the reference derives in scripts/train_drug3d.py:44-50).
+    Shared by the sample CLI and the serving layer."""
+    return MolFeaturizer(
+        atomic_numbers=tuple(cfg.chem.atomic_numbers),
+        mol_bond_types=tuple(cfg.chem.mol_bond_types),
+        use_mask_node=cfg.transform.use_mask_node,
+        use_mask_edge=cfg.transform.use_mask_edge,
+    )

@@ -23,22 +23,13 @@ import jax
 import numpy as np
 
 from moldiff_tpu.chem.sdf import write_sdf
-from moldiff_tpu.data.featurize import MolFeaturizer
+from moldiff_tpu.data.featurize import MolFeaturizer, featurizer_from_config
 from moldiff_tpu.models.bond_predictor import BondPredictor
 from moldiff_tpu.models.moldiff import MolDiff
 from moldiff_tpu.sample.pipeline import MolSampler
 from moldiff_tpu.train.trainer import load_checkpoint
 from moldiff_tpu.utils.config import Config, load_config
 from moldiff_tpu.utils.misc import get_logger, seed_all
-
-
-def featurizer_from_config(cfg: Config) -> MolFeaturizer:
-    return MolFeaturizer(
-        atomic_numbers=tuple(cfg.chem.atomic_numbers),
-        mol_bond_types=tuple(cfg.chem.mol_bond_types),
-        use_mask_node=cfg.transform.use_mask_node,
-        use_mask_edge=cfg.transform.use_mask_edge,
-    )
 
 
 def write_trajectory_sdf(featurizer, traj: dict, path: str) -> None:

@@ -1,0 +1,158 @@
+"""HTTP serving layer (moldiff_tpu/serve): checkpoint -> warm service ->
+JSON API. The reference has batch CLIs only; serving is a framework
+addition for production deployment."""
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from moldiff_tpu.models.moldiff import MolDiff
+from moldiff_tpu.serve import (
+    SamplerService,
+    build_service_from_checkpoint,
+    make_http_server,
+)
+from moldiff_tpu.train.trainer import Trainer, TrainState, save_checkpoint
+from moldiff_tpu.utils.config import Config
+
+
+def _tiny_full_config():
+    """Full train-CLI-shaped config (model + chem + transform blocks) so
+    build_service_from_checkpoint can reconstruct model AND featurizer."""
+    return Config({
+        "model": {
+            "name": "diffusion",
+            "node_dim": 16,
+            "edge_dim": 8,
+            "denoiser": {"num_blocks": 1, "cutoff": 10, "use_gate": True},
+            "diff": {
+                "num_timesteps": 8,
+                "time_dim": 4,
+                "categorical_space": "discrete",
+                "diff_pos": {"beta_schedule": "advance", "scale_start": 0.9999,
+                             "scale_end": 0.0001, "width": 3},
+                "diff_atom": {"init_prob": "tomask", "beta_schedule": "advance",
+                              "scale_start": 0.9999, "scale_end": 0.0001,
+                              "width": 3},
+                "diff_bond": {"init_prob": "absorb", "beta_schedule": "advance",
+                              "scale_start": 0.9999, "scale_end": 0.0001,
+                              "width": 3},
+            },
+        },
+        "chem": {"atomic_numbers": [6, 7, 8, 9, 15, 16, 17],
+                 "mol_bond_types": [1, 2, 3, 4]},
+        "transform": {"use_mask_node": True, "use_mask_edge": True},
+    })
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    cfg = _tiny_full_config()
+    model = MolDiff(cfg.model, 8, 6)
+    params = model.init_params(jax.random.key(0))
+    state = TrainState(params, None, np.int32(0), None)
+    path = str(tmp_path_factory.mktemp("serve") / "tiny.ckpt")
+    save_checkpoint(path, state, model_config=cfg)
+    return path
+
+
+@pytest.fixture(scope="module")
+def service(ckpt_path):
+    return build_service_from_checkpoint(
+        ckpt_path, batch_size=8, buckets=[12], max_mols_per_request=16,
+    )
+
+
+def _http(url, data=None):
+    req = urllib.request.Request(
+        url, data=json.dumps(data).encode() if data is not None else None
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+class TestService:
+    def test_generate_returns_pool(self, service):
+        out = service.generate(2, seed=0)
+        assert isinstance(out["smiles"], list)
+        assert isinstance(out["num_failed"], int)
+        assert out["seed"] == 0
+        # every returned SMILES is a connected molecule
+        assert all("." not in s for s in out["smiles"])
+
+    def test_generate_deterministic_for_seed(self, service):
+        a = service.generate(2, seed=7)
+        b = service.generate(2, seed=7)
+        assert a["smiles"] == b["smiles"]
+        assert a["num_failed"] == b["num_failed"]
+
+    def test_generate_validates_num_mols(self, service):
+        with pytest.raises(ValueError):
+            service.generate(0)
+        with pytest.raises(ValueError):
+            service.generate(10_000)
+
+    def test_sdf_format(self, service):
+        out = service.generate(2, seed=1, want_sdf=True)
+        assert len(out["sdf"]) == len(out["smiles"])
+        for block in out["sdf"]:
+            assert "V2000" in block and block.endswith("$$$$\n")
+
+    def test_warmup_compiles_buckets(self, service):
+        service.warmup()
+        assert service.health()["warm"] == [12]
+
+
+class TestHTTP:
+    @pytest.fixture(scope="class")
+    def server(self, service):
+        srv = make_http_server(service, "127.0.0.1", 0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield f"http://127.0.0.1:{srv.server_port}"
+        srv.shutdown()
+
+    def test_health(self, server):
+        code, body = _http(server + "/health")
+        assert code == 200
+        assert body["status"] == "ok"
+        assert body["buckets"] == [12]
+
+    def test_generate_roundtrip(self, server):
+        code, body = _http(
+            server + "/generate", {"num_mols": 2, "seed": 3, "format": "sdf"}
+        )
+        assert code == 200
+        assert isinstance(body["smiles"], list)
+        assert len(body["sdf"]) == len(body["smiles"])
+
+    def test_stats_accumulate(self, server, service):
+        before = service.stats["requests"]
+        _http(server + "/generate", {"num_mols": 1, "seed": 4})
+        code, stats = _http(server + "/stats")
+        assert code == 200
+        assert stats["requests"] == before + 1
+        assert "avg_generate_s" in stats
+
+    def test_bad_request_is_400(self, server):
+        code, body = _http(server + "/generate", {"num_mols": 0})
+        assert code == 400 and "error" in body
+
+    def test_unknown_path_is_404(self, server):
+        code, body = _http(server + "/nope")
+        assert code == 404
+
+
+class TestCLIWiring:
+    def test_guidance_requires_bond_ckpt(self, ckpt_path):
+        import scripts.serve_sampler as cli
+
+        with pytest.raises(SystemExit):
+            cli.main(["--ckpt", ckpt_path, "--guidance", "uncertainty",
+                      "1e-4", "--port", "0"])
