@@ -73,11 +73,43 @@ def parse_conf_list(mols: Sequence[Optional[Mol]], molid=None) -> Optional[dict]
     }
 
 
+def parse_conf_arrays(recs, molid=None) -> Optional[dict]:
+    """Array-record variant of :func:`parse_conf_list` — same cross-conformer
+    consistency contract, consumed by the native ingestion fast path
+    (chem/sdf_native.py:read_sdf_arrays, no Mol objects built)."""
+    recs = [r for r in recs if r is not None]
+    if not recs:
+        return None
+    base = recs[0]
+    poses = [base["pos"]]
+    for r in recs[1:]:
+        if (
+            not np.array_equal(r["element"], base["element"])
+            or not np.array_equal(r["bond_index"], base["bond_index"])
+            or not np.array_equal(r["bond_type"], base["bond_type"])
+        ):
+            return None
+        poses.append(r["pos"])
+    return {
+        "molid": molid,
+        "element": base["element"],
+        "pos": np.stack(poses),
+        "bond_index": base["bond_index"],
+        "bond_type": base["bond_type"],
+    }
+
+
 def _parse_one(molid, sdf_dir) -> Optional[dict]:
     sdf_path = os.path.join(sdf_dir, f"{molid}.sdf")
     if not os.path.exists(sdf_path):
         return None
     try:
+        # native C++ parser when built: text -> record arrays directly
+        # (no Mol objects on the ingestion path); Python parser fallback
+        from ..chem.sdf_native import native_available, read_sdf_arrays
+
+        if native_available():
+            return parse_conf_arrays(read_sdf_arrays(sdf_path), molid=molid)
         mols = list(read_sdf(sdf_path))
         return parse_conf_list(mols, molid=molid)
     except Exception:
