@@ -275,6 +275,12 @@ class Trainer:
                         scheduler=self.scheduler, key=key, extra=extra)
 
     def load_checkpoint(self, path: str) -> TrainState:
+        from .checkpoint_sharded import is_sharded_checkpoint
+
+        if is_sharded_checkpoint(path) and (
+            self.tp or self.pp or self.fsdp or self.ep
+        ):
+            return self._load_sharded_dir(path)
         ckpt = load_checkpoint(path)
         ema = ckpt.get("ema_params")
         if self.ema_decay > 0 and ema is None:
@@ -287,6 +293,31 @@ class Trainer:
             ckpt["params"], ckpt["opt_state"],
             jnp.asarray(ckpt["step"], jnp.int32), ema,
         )
+        if ckpt.get("scheduler") is not None:
+            self.scheduler.load_state_dict(ckpt["scheduler"])
+        return jax.device_put(state, self._state_sharding(state))
+
+    def _load_sharded_dir(self, path: str) -> TrainState:
+        """Direct sharded load: each device reads only its own shards
+        (aligned fast path when the saving layout matches this trainer's),
+        never materializing the full state on one host."""
+        from .checkpoint_sharded import load_checkpoint_sharded, read_meta
+
+        treedef, specs = read_meta(path)
+        structs = [jax.ShapeDtypeStruct(tuple(s["shape"]), np.dtype(s["dtype"]))
+                   for s in specs if s is not None]
+        struct_state = jax.tree.unflatten(treedef, structs)
+        ckpt = load_checkpoint_sharded(
+            path, shardings=self._state_sharding(struct_state)
+        )
+        st = ckpt["state"]
+        ema = st.ema_params
+        if self.ema_decay > 0 and ema is None:
+            ema = jax.tree.map(lambda x: jnp.array(x, copy=True), st.params)
+        if self.ema_decay == 0:
+            ema = None
+        state = TrainState(st.params, st.opt_state,
+                           jnp.asarray(st.step, jnp.int32), ema)
         if ckpt.get("scheduler") is not None:
             self.scheduler.load_state_dict(ckpt["scheduler"])
         return jax.device_put(state, self._state_sharding(state))
@@ -319,5 +350,25 @@ def save_checkpoint(path, state: TrainState, model_config=None, scheduler=None,
 
 
 def load_checkpoint(path: str) -> dict:
+    """Load a pickle checkpoint, or a sharded checkpoint directory
+    (train/checkpoint_sharded.py) flattened to the same dict contract —
+    so every consumer (sample CLI, converters, soak) reads both formats."""
+    from .checkpoint_sharded import is_sharded_checkpoint
+
+    if is_sharded_checkpoint(path):
+        from .checkpoint_sharded import load_checkpoint_sharded
+
+        out = load_checkpoint_sharded(path)
+        st = out["state"]
+        return {
+            "config": out["config"],
+            "params": st.params,
+            "opt_state": st.opt_state,
+            "step": int(st.step),
+            "scheduler": out["scheduler"],
+            "key": out["key"],
+            "extra": out["extra"],
+            "ema_params": st.ema_params,
+        }
     with open(path, "rb") as f:
         return pickle.load(f)

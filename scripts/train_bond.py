@@ -94,6 +94,13 @@ def main(argv=None):
     val_freq = config.train.val_freq
     ckpt_freq = config.train.get("ckpt_freq", val_freq)
     val_batches = config.train.get("val_batches", 16)
+    # same knobs as train_drug3d: sharded-dir / async-pickle checkpoints
+    ckpt_sharded = bool(config.train.get("ckpt_sharded", False))
+    async_ckpt = None
+    if config.train.get("ckpt_async", False) and not ckpt_sharded:
+        from moldiff_tpu.train.checkpoint_sharded import AsyncCheckpointer
+
+        async_ckpt = AsyncCheckpointer()
 
     n_errors = 0
     t0 = time.time()
@@ -143,9 +150,22 @@ def main(argv=None):
 
         if it % ckpt_freq == 0 or it == max_iters:
             path = os.path.join(ckpt_dir, f"{it}.ckpt")
-            trainer.save_checkpoint(path, state, model_config=config, key=key)
+            if ckpt_sharded:
+                from moldiff_tpu.train.checkpoint_sharded import (
+                    save_checkpoint_sharded,
+                )
+
+                save_checkpoint_sharded(path, state, model_config=config,
+                                        scheduler=trainer.scheduler, key=key)
+            elif async_ckpt is not None:
+                async_ckpt.save(path, state, model_config=config,
+                                scheduler=trainer.scheduler, key=key)
+            else:
+                trainer.save_checkpoint(path, state, model_config=config, key=key)
             logger.info(f"saved {path}")
 
+    if async_ckpt is not None:
+        async_ckpt.wait()
     logger.info("done")
     return log_dir
 

@@ -110,6 +110,15 @@ def main(argv=None):
     val_freq = config.train.val_freq
     ckpt_freq = config.train.get("ckpt_freq", val_freq)
     val_batches = config.train.get("val_batches", 16)
+    # train.ckpt_sharded: per-shard directory checkpoints (no gather — the
+    # scale path for TP/PP/FSDP/EP meshes); train.ckpt_async: serialize +
+    # fsync off-thread so the loop only blocks on the device->host copy.
+    ckpt_sharded = bool(config.train.get("ckpt_sharded", False))
+    async_ckpt = None
+    if config.train.get("ckpt_async", False) and not ckpt_sharded:
+        from moldiff_tpu.train.checkpoint_sharded import AsyncCheckpointer
+
+        async_ckpt = AsyncCheckpointer()
 
     from moldiff_tpu.utils.profiling import StepTimer, trace
 
@@ -175,9 +184,22 @@ def main(argv=None):
 
         if it % ckpt_freq == 0 or it == max_iters:
             path = os.path.join(ckpt_dir, f"{it}.ckpt")
-            trainer.save_checkpoint(path, state, model_config=config, key=key)
+            if ckpt_sharded:
+                from moldiff_tpu.train.checkpoint_sharded import (
+                    save_checkpoint_sharded,
+                )
+
+                save_checkpoint_sharded(path, state, model_config=config,
+                                        scheduler=trainer.scheduler, key=key)
+            elif async_ckpt is not None:
+                async_ckpt.save(path, state, model_config=config,
+                                scheduler=trainer.scheduler, key=key)
+            else:
+                trainer.save_checkpoint(path, state, model_config=config, key=key)
             logger.info(f"saved {path}")
 
+    if async_ckpt is not None:
+        async_ckpt.wait()
     logger.info("done")
     return log_dir
 
