@@ -17,6 +17,8 @@ Modes:
                                        mesh, bitwise-checked against the
                                        single-device chain (BASELINE.json
                                        configs item 5)
+  ... --steps S                        respaced S-step reverse chain
+                                       (sample/guided modes; ops/respace.py)
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md section 6)
 — "baseline_kind": "estimated" marks this. We use an estimated 0.5 mols/sec
@@ -190,6 +192,11 @@ def main():
     if argv and argv[0] == "--devices":  # alias: bench.py --devices N
         mode = "mesh"
         argv = argv[1:]
+    num_steps = None  # --steps S: respaced reverse chain (ops/respace.py)
+    if "--steps" in argv:
+        i = argv.index("--steps")
+        num_steps = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     if mode == "mesh":
         inner = "--inner" in argv
         argv = [a for a in argv if a != "--inner"]
@@ -229,16 +236,21 @@ def main():
 
     if mode == "guided":
         # chunked: one full guided chain exceeds device-execution deadlines
+        chunk = 100 if num_steps is None else max(
+            c for c in (100, 50, 25, 20, 10, 5, 1) if num_steps % c == 0
+        )
+
         def run(params, node_mask, key):
             res = model.sample_chunked(
-                params, node_mask, key, chunk_size=100,
+                params, node_mask, key, chunk_size=chunk,
                 guidance=guidance, bond_predictor=bond_predictor,
+                num_steps=num_steps,
             )
             return res.pred_node, res.pred_pos, res.pred_halfedge
     else:
         @jax.jit
         def run(params, node_mask, key):
-            res = model.sample(params, node_mask, key)
+            res = model.sample(params, node_mask, key, num_steps=num_steps)
             return res.pred_node, res.pred_pos, res.pred_halfedge
 
     from moldiff_tpu.utils.flops import denoiser_forward_flops, mfu
@@ -246,7 +258,7 @@ def main():
     # analytic matmul FLOPs: XLA's cost_analysis counts a lax.scan body
     # ONCE (not x trip count), so it under-reports the T-step chain ~1000x;
     # the analytic model matches XLA's per-block count within 7%
-    T = 1000
+    T = num_steps or 1000
     flops = T * denoiser_forward_flops(
         batch, n, cfg["node_dim"], cfg["edge_dim"],
         cfg["denoiser"]["num_blocks"],
@@ -282,6 +294,8 @@ def main():
 
     n_chips = jax.device_count()
     suffix = "_guided" if mode == "guided" else ""
+    if num_steps:
+        suffix += f"_steps{num_steps}"
     result = {
         "metric": f"mols_per_sec_per_chip{suffix}",
         "value": round(mols_per_sec / max(n_chips, 1), 3),
@@ -293,7 +307,7 @@ def main():
     }
     print(json.dumps(result))
     print(
-        f"# mode={mode} batch={batch} n_atoms={n} T=1000 compile={compile_s:.1f}s "
+        f"# mode={mode} batch={batch} n_atoms={n} T={T} compile={compile_s:.1f}s "
         f"best_run={best:.2f}s device={jax.devices()[0].device_kind}",
         file=sys.stderr,
     )

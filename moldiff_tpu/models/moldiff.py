@@ -101,6 +101,9 @@ class MolDiff:
             **{k: v for k, v in diff["diff_bond"].items()
                if k not in ("init_prob",)},
         )
+        # raw float64 schedules, kept for sample-time respacing (ops/respace.py)
+        self._raw_betas = {"pos": pos_betas, "node": node_betas, "edge": edge_betas}
+        self._respace_cache = {}
         if self.categorical_space == "discrete":
             self.node_transition = CategoricalTransition(
                 node_betas, num_node_types, init_prob=diff["diff_atom"]["init_prob"]
@@ -334,6 +337,41 @@ class MolDiff:
 
     # -- sampling ----------------------------------------------------------------
 
+    def _respaced(self, num_steps: int):
+        """(transitions, t_map) for an ``num_steps``-step reverse chain.
+
+        Both transition families compose exactly under striding
+        (ops/respace.py), so the respaced objects are ordinary transitions
+        built from composed betas; ``t_map[i]`` is the ORIGINAL timestep fed
+        to the denoiser (the time embedding the network was trained with).
+        Cached per num_steps (host float64 precompute + constant upload).
+        """
+        if num_steps not in self._respace_cache:
+            from moldiff_tpu.ops.respace import respace_timesteps, respaced_betas
+
+            if self.categorical_space != "discrete":
+                raise NotImplementedError(
+                    "num_steps respacing supports the discrete categorical "
+                    "space (the flagship config)"
+                )
+            subset = respace_timesteps(self.num_timesteps, num_steps)
+            rb = {k: respaced_betas(v, subset) for k, v in self._raw_betas.items()}
+            diff = self.config["diff"]
+            transitions = (
+                GaussianTransition(rb["pos"]),
+                CategoricalTransition(
+                    rb["node"], self.num_node_types,
+                    init_prob=diff["diff_atom"]["init_prob"],
+                ),
+                CategoricalTransition(
+                    rb["edge"], self.num_edge_types,
+                    init_prob=diff["diff_bond"]["init_prob"],
+                ),
+            )
+            t_map = jnp.asarray(subset, dtype=jnp.int32)
+            self._respace_cache[num_steps] = (transitions, t_map)
+        return self._respace_cache[num_steps]
+
     def sample(
         self,
         params: dict,
@@ -343,6 +381,7 @@ class MolDiff:
         bond_predictor=None,          # (BondPredictor, bp_params) when guided
         save_traj: bool = False,
         guidance_interval: int = 1,
+        num_steps: Optional[int] = None,
     ) -> SampleResult:
         """Full T-step ancestral reverse sampler as one lax.scan.
 
@@ -355,6 +394,10 @@ class MolDiff:
         larger values trade guidance strength for sampling speed (the
         guidance gradient costs ~5x a denoiser step). Framework extension —
         not in the reference.
+
+        ``num_steps``: respaced reverse chain on S << T evenly-spaced
+        timesteps (ops/respace.py) — throughput scales ~T/S. Framework
+        extension — not in the reference.
         """
         b, n = node_mask.shape
         e = graph_ops.num_halfedges(n)
@@ -365,10 +408,18 @@ class MolDiff:
                 params, node_mask, key, guidance, bond_predictor, save_traj
             )
 
+        transitions, t_map = None, None
+        if num_steps is not None and num_steps < T:
+            transitions, t_map = self._respaced(num_steps)
+            T = num_steps
+        pos_tr = transitions[0] if transitions else self.pos_transition
+        node_tr = transitions[1] if transitions else self.node_transition
+        edge_tr = transitions[2] if transitions else self.edge_transition
+
         k_node, k_pos, k_edge, k_scan = jax.random.split(key, 4)
-        _, h_node, log_node = self.node_transition.sample_init((b, n), k_node)
-        pos = self.pos_transition.sample_init((b, n, 3), k_pos)
-        _, h_halfedge, log_halfedge = self.edge_transition.sample_init((b, e), k_edge)
+        _, h_node, log_node = node_tr.sample_init((b, n), k_node)
+        pos = pos_tr.sample_init((b, n, 3), k_pos)
+        _, h_halfedge, log_halfedge = edge_tr.sample_init((b, e), k_edge)
 
         zero_preds = MolDiffPreds(
             jnp.zeros((b, n, self.num_node_types)),
@@ -379,6 +430,7 @@ class MolDiff:
         body = self._make_scan_body(
             params, node_mask, guidance, bond_predictor, save_traj,
             guidance_interval=guidance_interval,
+            transitions=transitions, t_map=t_map,
         )
         init = (pos, h_node, h_halfedge, log_node, log_halfedge, zero_preds, k_scan)
         steps = jnp.arange(T - 1, -1, -1)
@@ -394,35 +446,45 @@ class MolDiff:
         return SampleResult(preds.pred_node, preds.pred_pos, preds.pred_halfedge, traj)
 
     def _make_scan_body(self, params, node_mask, guidance, bond_predictor,
-                        save_traj: bool, guidance_interval: int = 1):
+                        save_traj: bool, guidance_interval: int = 1,
+                        transitions=None, t_map=None):
         """One reverse step of the discrete sampler (shared by the single
-        lax.scan and the chunked variant). Reference model.py:271-367."""
+        lax.scan and the chunked variant). Reference model.py:271-367.
+
+        ``transitions``/``t_map``: respaced-chain support — posterior math
+        runs on the respaced transitions indexed by the scan step, while the
+        denoiser (and guidance bond predictor) see the ORIGINAL timestep
+        ``t_map[step]`` they were trained on."""
         b = node_mask.shape[0]
+        pos_tr, node_tr, edge_tr = transitions or (
+            self.pos_transition, self.node_transition, self.edge_transition
+        )
 
         def body(carry, step):
             pos, h_node, h_halfedge, log_node, log_halfedge, _, key = carry
             key, k_pos, k_node, k_edge = jax.random.split(key, 4)
             t = jnp.full((b,), step, dtype=jnp.int32)
+            t_model = t if t_map is None else jnp.full((b,), t_map[step], jnp.int32)
 
-            preds = self.forward(params, h_node, pos, h_halfedge, t, node_mask)
+            preds = self.forward(params, h_node, pos, h_halfedge, t_model, node_mask)
 
-            pos_prev = self.pos_transition.get_prev_from_recon(
+            pos_prev = pos_tr.get_prev_from_recon(
                 x_t=pos, x_recon=preds.pred_pos, t=t, key=k_pos
             )
 
             log_node_recon = jax.nn.log_softmax(preds.pred_node, axis=-1)
-            log_node_new = self.node_transition.q_v_posterior(
+            log_node_new = node_tr.q_v_posterior(
                 log_node_recon, log_node, t, v0_prob=True
             )
             node_type_prev = log_sample_categorical(log_node_new, k_node)
-            h_node_prev = self.node_transition.onehot_encode(node_type_prev)
+            h_node_prev = node_tr.onehot_encode(node_type_prev)
 
             log_edge_recon = jax.nn.log_softmax(preds.pred_halfedge, axis=-1)
-            log_halfedge_new = self.edge_transition.q_v_posterior(
+            log_halfedge_new = edge_tr.q_v_posterior(
                 log_edge_recon, log_halfedge, t, v0_prob=True
             )
             halfedge_type_prev = log_sample_categorical(log_halfedge_new, k_edge)
-            h_halfedge_prev = self.edge_transition.onehot_encode(halfedge_type_prev)
+            h_halfedge_prev = edge_tr.onehot_encode(halfedge_type_prev)
 
             if guidance is not None:
                 gui_type, gui_scale = guidance
@@ -440,7 +502,8 @@ class MolDiff:
                             gui_scale,
                             h_node_pert=h_node,
                             pos_pert=pos,
-                            t=t,
+                            t=t_model,  # bond predictor's own schedule is
+                                        # indexed by ORIGINAL timesteps
                             node_mask=node_mask,
                             halfedge_type_prev=halfedge_type_prev,
                             log_halfedge_type=log_halfedge_new,
@@ -481,6 +544,7 @@ class MolDiff:
                               # (multi-chip: shard the chain over 'data')
         guidance_interval: int = 1,
         save_traj: bool = False,
+        num_steps: Optional[int] = None,
     ) -> SampleResult:
         """The T-step reverse chain as T/chunk_size sequential jitted scans
         with the carry threaded on host.
@@ -502,12 +566,19 @@ class MolDiff:
         b, n = node_mask.shape
         e = graph_ops.num_halfedges(n)
         T = self.num_timesteps
+        transitions, t_map = None, None
+        if num_steps is not None and num_steps < T:
+            transitions, t_map = self._respaced(num_steps)
+            T = num_steps
+        pos_tr = transitions[0] if transitions else self.pos_transition
+        node_tr = transitions[1] if transitions else self.node_transition
+        edge_tr = transitions[2] if transitions else self.edge_transition
         assert T % chunk_size == 0, (T, chunk_size)
 
         k_node, k_pos, k_edge, k_scan = jax.random.split(key, 4)
-        _, h_node, log_node = self.node_transition.sample_init((b, n), k_node)
-        pos = self.pos_transition.sample_init((b, n, 3), k_pos)
-        _, h_halfedge, log_halfedge = self.edge_transition.sample_init((b, e), k_edge)
+        _, h_node, log_node = node_tr.sample_init((b, n), k_node)
+        pos = pos_tr.sample_init((b, n, 3), k_pos)
+        _, h_halfedge, log_halfedge = edge_tr.sample_init((b, e), k_edge)
         zero_preds = MolDiffPreds(
             jnp.zeros((b, n, self.num_node_types)),
             jnp.zeros((b, n, 3)),
@@ -519,7 +590,7 @@ class MolDiff:
         gui_type = guidance[0] if guidance is not None else None
         gui_scale = float(guidance[1]) if guidance is not None else 0.0
         cache_key = (b, n, chunk_size, gui_type, bond_predictor is not None,
-                     guidance_interval, save_traj)
+                     guidance_interval, save_traj, num_steps)
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
         if cache_key not in self._chunk_fns:
@@ -530,6 +601,7 @@ class MolDiff:
                     bond_predictor,
                     save_traj=save_traj,
                     guidance_interval=guidance_interval,
+                    transitions=transitions, t_map=t_map,
                 )
                 return jax.lax.scan(body, carry, steps)
 

@@ -44,6 +44,7 @@ class MolSampler:
         add_edge: Optional[str] = None,
         chunk_steps: Optional[int] = None,
         guidance_interval: int = 1,
+        num_steps: Optional[int] = None,
     ):
         self.model = model
         self.featurizer = featurizer
@@ -68,6 +69,9 @@ class MolSampler:
         self.chunk_steps = chunk_steps
         # apply guidance every k-th step (1 = reference-exact every step)
         self.guidance_interval = guidance_interval
+        # respaced reverse chain: run S << T evenly-spaced steps
+        # (models/moldiff.py:_respaced); None = full reference-exact chain
+        self.num_steps = num_steps
         if mesh is not None and batch_size % mesh.size != 0:
             raise ValueError(
                 f"batch_size {batch_size} must divide mesh size {mesh.size}"
@@ -115,6 +119,7 @@ class MolSampler:
                         data_sharding=data,
                         guidance_interval=self.guidance_interval,
                         save_traj=save_traj,
+                        num_steps=self.num_steps,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -138,6 +143,7 @@ class MolSampler:
                         bond_predictor=self.bond_predictor,
                         save_traj=save_traj,
                         guidance_interval=self.guidance_interval,
+                        num_steps=self.num_steps,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -158,6 +164,7 @@ class MolSampler:
                     bond_predictor=self.bond_predictor,
                     save_traj=save_traj,
                     guidance_interval=self.guidance_interval,
+                    num_steps=self.num_steps,
                 )
                 return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 

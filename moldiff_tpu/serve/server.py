@@ -154,6 +154,7 @@ def build_service_from_checkpoint(
     buckets=None,
     max_mols_per_request: int = 1024,
     guidance_interval: int = 1,
+    num_steps: Optional[int] = None,
 ) -> SamplerService:
     """Checkpoint -> warm-able service. Mirrors the sample CLI's model
     construction (scripts/sample_drug3d.py; reference
@@ -194,7 +195,7 @@ def build_service_from_checkpoint(
         )
         bond_predictor = (bp, jax.device_put(bp_ckpt["params"]))
         if guidance is not None and model.categorical_space == "discrete":
-            T = model.num_timesteps
+            T = num_steps or model.num_timesteps
             chunk_steps = next(
                 c for c in (100, 50, 25, 20, 10, 5, 1) if T % c == 0
             )
@@ -210,6 +211,7 @@ def build_service_from_checkpoint(
         batch_size=batch_size,
         chunk_steps=chunk_steps,
         guidance_interval=guidance_interval,
+        num_steps=num_steps,
         **kw,
     )
     return SamplerService(sampler, params,

@@ -68,6 +68,9 @@ def main(argv=None):
     ap.add_argument("--use_ema", action="store_true",
                     help="sample from the EMA weights in the checkpoint "
                          "(requires training with train.ema_decay > 0)")
+    ap.add_argument("--num_steps", type=int, default=None,
+                    help="respaced reverse chain on S evenly-spaced steps "
+                         "(default: sample.num_steps or the full T=1000)")
     ap.add_argument("--add_edge", choices=["distance"], default=None,
                     help="re-perceive bonds from distances instead of the "
                          "predicted bond types (reference 'edm' path)")
@@ -182,11 +185,15 @@ def main(argv=None):
         size_kw["size_mean"] = float(config.sample.size_mean)
     if config.sample.get("size_std"):
         size_kw["size_std"] = float(config.sample.size_std)
+    # framework extension: respaced reverse chain on S << T steps
+    # (ops/respace.py); None/absent = full reference-exact 1000 steps
+    num_steps = args.num_steps or config.sample.get("num_steps")
+    num_steps = int(num_steps) if num_steps else None
     # guided chains run denoiser + bond-predictor grad per step; chunk them
     # so one device execution stays under runtime deadlines
     chunk_steps = None
     if guidance is not None and model.categorical_space == "discrete":
-        T = model.num_timesteps
+        T = num_steps or model.num_timesteps
         chunk_steps = next(c for c in (100, 50, 25, 20, 10, 5, 1) if T % c == 0)
     sampler = MolSampler(
         model, featurizer,
@@ -196,6 +203,7 @@ def main(argv=None):
         # framework extension: apply guidance every k-th step (default 1 =
         # reference-exact; the guidance grad costs ~5x a denoiser step)
         guidance_interval=int(config.sample.get("guidance_interval", 1)),
+        num_steps=num_steps,
         **size_kw,
     )
     key = jax.random.key(config.sample.seed)

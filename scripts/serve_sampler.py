@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--buckets", type=int, nargs="+", default=None)
     p.add_argument("--max_mols_per_request", type=int, default=1024)
     p.add_argument("--guidance_interval", type=int, default=1)
+    p.add_argument("--num_steps", type=int, default=None,
+                   help="respaced reverse chain on S evenly-spaced steps")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip startup compiles (first requests pay them)")
     args = p.parse_args(argv)
@@ -58,6 +60,7 @@ def main(argv=None):
         buckets=args.buckets,
         max_mols_per_request=args.max_mols_per_request,
         guidance_interval=args.guidance_interval,
+        num_steps=args.num_steps,
     )
     if not args.no_warmup:
         service.warmup(logger=logger)

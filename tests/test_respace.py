@@ -1,0 +1,190 @@
+"""Timestep respacing (ops/respace.py + MolDiff.sample(num_steps=S)).
+
+The key invariants:
+  * composed betas are EXACT — the respaced Gaussian lands on the original
+    alpha_bar at every kept step, and the respaced categorical's one-step /
+    cumulative matrices equal brute-force products of the original ones;
+  * the identity subset (S == T) reproduces the original transitions;
+  * the respaced sampler produces finite, correctly-shaped, padding-clean
+    outputs, chunked == single-scan, and guidance runs inside it.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from moldiff_tpu.ops.categorical import CategoricalTransition
+from moldiff_tpu.ops.gaussian import GaussianTransition
+from moldiff_tpu.ops.respace import respace_timesteps, respaced_betas
+from moldiff_tpu.ops.schedules import get_beta_schedule
+from tests.test_guidance import tiny_bondpred, tiny_moldiff
+
+
+def _betas(T=40):
+    return get_beta_schedule(
+        beta_schedule="advance", num_timesteps=T,
+        scale_start=0.9999, scale_end=0.0001, width=3,
+    )
+
+
+class TestRespaceMath:
+    def test_subset_properties(self):
+        sub = respace_timesteps(1000, 100)
+        assert len(sub) == 100
+        assert sub[0] == 0 and sub[-1] == 999
+        assert (np.diff(sub) > 0).all()
+        assert respace_timesteps(1000, 1).tolist() == [0]
+        with pytest.raises(ValueError):
+            respace_timesteps(1000, 1001)
+
+    def test_identity_subset_recovers_betas(self):
+        betas = _betas()
+        sub = respace_timesteps(len(betas), len(betas))
+        np.testing.assert_allclose(
+            respaced_betas(betas, sub), betas, rtol=1e-12
+        )
+
+    def test_gaussian_alpha_bar_lands_on_subset(self):
+        betas = _betas()
+        sub = respace_timesteps(len(betas), 7)
+        orig = GaussianTransition(betas)
+        resp = GaussianTransition(respaced_betas(betas, sub))
+        np.testing.assert_allclose(
+            np.asarray(resp.alphas_bar),
+            np.asarray(orig.alphas_bar)[sub],
+            rtol=1e-5,
+        )
+
+    @pytest.mark.parametrize("prior", ["absorb", "tomask", "uniform"])
+    def test_categorical_matrices_are_exact_products(self, prior):
+        betas = _betas()
+        K = 6
+        sub = respace_timesteps(len(betas), 9)
+        orig = CategoricalTransition(betas, K, init_prob=prior)
+        resp = CategoricalTransition(
+            respaced_betas(betas, sub), K, init_prob=prior
+        )
+        # cumulative: q_mats'[i] == q_mats[sub[i]]
+        np.testing.assert_allclose(
+            np.asarray(resp.q_mats),
+            np.asarray(orig.q_mats)[sub],
+            atol=1e-6,
+        )
+        # one-step: Q'[i] == product of original Q over (sub[i-1], sub[i]]
+        orig_onestep = np.transpose(
+            np.asarray(orig.transpose_q_onestep_mats, dtype=np.float64),
+            (0, 2, 1),
+        )
+        prev = -1
+        for i, tau in enumerate(sub):
+            prod = np.eye(K)
+            for u in range(prev + 1, tau + 1):
+                prod = prod @ orig_onestep[u]
+            got = np.asarray(resp.transpose_q_onestep_mats[i]).T
+            np.testing.assert_allclose(got, prod, atol=1e-6)
+            prev = tau
+
+
+class TestRespacedSampler:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        model = tiny_moldiff()  # T = 6
+        params = model.init_params(jax.random.key(0))
+        node_mask = np.ones((2, 6), np.float32)
+        node_mask[1, 4:] = 0.0
+        return model, params, jnp.asarray(node_mask)
+
+    def test_respaced_identity_transitions(self, setup):
+        model, _, _ = setup
+        (pos_tr, node_tr, edge_tr), t_map = model._respaced(
+            model.num_timesteps
+        )
+        np.testing.assert_array_equal(
+            np.asarray(t_map), np.arange(model.num_timesteps)
+        )
+        np.testing.assert_allclose(
+            np.asarray(pos_tr.coef_x0),
+            np.asarray(model.pos_transition.coef_x0), rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(node_tr.q_mats),
+            np.asarray(model.node_transition.q_mats), atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(edge_tr.q_mats),
+            np.asarray(model.edge_transition.q_mats), atol=1e-6,
+        )
+
+    def test_sample_fewer_steps_finite_and_masked(self, setup):
+        model, params, node_mask = setup
+        res = model.sample(params, node_mask, jax.random.key(1), num_steps=3)
+        for x in (res.pred_node, res.pred_pos, res.pred_halfedge):
+            assert np.isfinite(np.asarray(x)).all()
+        assert res.pred_node.shape == (2, 6, 8)
+        assert res.pred_pos.shape == (2, 6, 3)
+
+    def test_traj_length_is_respaced(self, setup):
+        model, params, node_mask = setup
+        res = model.sample(
+            params, node_mask, jax.random.key(1), num_steps=3, save_traj=True
+        )
+        assert res.traj[0].shape[0] == 3 + 1  # S steps + the prior state
+
+    def test_chunked_matches_single_scan(self, setup):
+        model, params, node_mask = setup
+        r1 = model.sample(params, node_mask, jax.random.key(2), num_steps=4)
+        r2 = model.sample_chunked(
+            params, node_mask, jax.random.key(2), chunk_size=2, num_steps=4
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r1.pred_pos), np.asarray(r2.pred_pos)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r1.pred_halfedge), np.asarray(r2.pred_halfedge)
+        )
+
+    def test_guided_respaced_runs(self, setup):
+        model, params, node_mask = setup
+        bp = tiny_bondpred()
+        bp_params = bp.init_params(jax.random.key(3))
+        res = model.sample(
+            params, node_mask, jax.random.key(4),
+            guidance=("uncertainty", 1e-2), bond_predictor=(bp, bp_params),
+            num_steps=3,
+        )
+        assert np.isfinite(np.asarray(res.pred_pos)).all()
+
+    def test_full_steps_arg_is_noop_path(self, setup):
+        """num_steps >= T falls through to the reference-exact chain."""
+        model, params, node_mask = setup
+        r_none = model.sample(params, node_mask, jax.random.key(5))
+        r_full = model.sample(
+            params, node_mask, jax.random.key(5),
+            num_steps=model.num_timesteps,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(r_none.pred_pos), np.asarray(r_full.pred_pos)
+        )
+
+
+class TestSamplerPipeline:
+    def test_molsampler_num_steps(self):
+        from moldiff_tpu.data.featurize import MolFeaturizer
+        from moldiff_tpu.sample.pipeline import MolSampler
+
+        model = tiny_moldiff()
+        params = model.init_params(jax.random.key(0))
+        featurizer = MolFeaturizer(
+            atomic_numbers=(6, 7, 8, 9, 15, 16, 17),
+            mol_bond_types=(1, 2, 3, 4),
+            use_mask_node=True, use_mask_edge=True,
+        )
+        sampler = MolSampler(
+            model, featurizer, buckets=(8,), batch_size=4, num_steps=3
+        )
+        decoded = sampler.sample_sizes(
+            params, np.array([5, 6, 4, 6]), jax.random.key(1)
+        )
+        assert len(decoded) == 4
+        for d in decoded:
+            assert np.isfinite(d["atom_pos"]).all()
