@@ -100,8 +100,13 @@ def save_checkpoint_sharded(
             })
             seen = set()
             for shard in leaf.addressable_shards:
+                # replica 0 owns each distinct shard — prevents two PROCESSES
+                # (or two local devices) concurrently writing the same file
+                # for leaves replicated across the mesh
+                if getattr(shard, "replica_id", 0) != 0:
+                    continue
                 fname = _shard_filename(i, shard.index)
-                if fname in seen:  # replicated across local devices
+                if fname in seen:
                     continue
                 seen.add(fname)
                 np.save(os.path.join(tmp, fname), np.asarray(shard.data))

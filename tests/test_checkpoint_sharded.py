@@ -188,6 +188,91 @@ class TestTrainerIntegration:
         _equal_trees(s1.opt_state, ckpt["opt_state"])
 
 
+_MP_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); nproc = int(sys.argv[2])
+coord = sys.argv[3]; outdir = sys.argv[4]
+jax.distributed.initialize(coordinator_address=coord,
+                           num_processes=nproc, process_id=pid)
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from moldiff_tpu.train.checkpoint_sharded import (
+    load_checkpoint_sharded, save_checkpoint_sharded,
+)
+
+mesh = Mesh(np.array(jax.devices()).reshape(nproc), ("data",))
+data_sh = NamedSharding(mesh, P("data"))
+rep_sh = NamedSharding(mesh, P())
+full = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+w = jax.make_array_from_callback(full.shape, data_sh, lambda idx: full[idx])
+bias = jax.make_array_from_callback((4,), rep_sh,
+                                    lambda idx: np.ones(4, np.float32))
+state = {"w": w, "b": bias}
+path = os.path.join(outdir, "ckpt_dir")
+save_checkpoint_sharded(path, state, extra={"nproc": nproc})
+
+# every process sees the complete directory after the barrier+rename
+loaded = load_checkpoint_sharded(path, shardings={"w": data_sh, "b": rep_sh})
+lw = loaded["state"]["w"]
+for shard in lw.addressable_shards:
+    np.testing.assert_array_equal(np.asarray(shard.data), full[shard.index])
+np.testing.assert_array_equal(
+    np.asarray(loaded["state"]["b"].addressable_shards[0].data),
+    np.ones(4, np.float32),
+)
+assert loaded["extra"] == {"nproc": nproc}
+print("WORKER_OK", pid)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_sharded_checkpoint(tmp_path):
+    """REAL 2-process jax.distributed run: each process writes only its own
+    shards (no gather), replicated leaves are written exactly once, and both
+    processes reload their slices from the finished directory."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+    worker_py = tmp_path / "worker.py"
+    worker_py.write_text(_MP_WORKER)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, str(worker_py), str(p), "2", coord,
+             str(tmp_path)],
+            cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for p in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+        assert "WORKER_OK" in out, out
+    # per-shard files: 2 for the data-sharded leaf, 1 for the replicated one
+    files = sorted(os.listdir(tmp_path / "ckpt_dir"))
+    leaf_b = [f for f in files if f.startswith("leaf0")]  # 'b' sorts first
+    leaf_w = [f for f in files if f.startswith("leaf1")]
+    assert len(leaf_w) == 2 and len(leaf_b) == 1, files
+    for f in leaf_w:
+        assert np.load(tmp_path / "ckpt_dir" / f).shape == (4, 3)
+    # parent (no distributed context) can read it too
+    loaded = load_checkpoint_sharded(str(tmp_path / "ckpt_dir"))
+    np.testing.assert_array_equal(
+        loaded["state"]["w"],
+        np.arange(24, dtype=np.float32).reshape(8, 3),
+    )
+
+
 class TestAsyncCheckpointer:
     def test_matches_sync_checkpoint(self, tmp_path):
         model = tiny_model()
