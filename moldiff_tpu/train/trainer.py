@@ -176,6 +176,14 @@ class Trainer:
 
         self.ema_decay = float(train_config.get("ema_decay", 0.0) or 0.0)
         ema_decay = self.ema_decay
+        # gradient accumulation: split the batch into K microbatches inside
+        # the jitted step (lax.scan over value_and_grad, f32 grad sum) — K x
+        # the effective batch at ~1/K the activation memory. Per-microbatch
+        # masked means are averaged, so with ragged real-element counts the
+        # loss weighting differs from the one-shot batch by the usual
+        # accumulation approximation (each microbatch weighted equally).
+        self.grad_accum = int(train_config.get("grad_accum", 1) or 1)
+        accum = self.grad_accum
 
         jit_shardings = (
             {} if (self.tp or self.pp or self.fsdp or self.ep)
@@ -184,9 +192,39 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=(0,), **jit_shardings)
         def _train_step(state: TrainState, batch, key):
-            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
-                state.params, batch, key
-            )
+            if accum > 1:
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                micro = jax.tree.map(
+                    lambda x: x.reshape(
+                        (accum, x.shape[0] // accum) + x.shape[1:]
+                    ),
+                    batch,
+                )
+                if DATA_AXIS in mesh_.axis_names and mesh_.shape[DATA_AXIS] > 1:
+                    micro = jax.lax.with_sharding_constraint(
+                        micro,
+                        NamedSharding(mesh_, PartitionSpec(None, DATA_AXIS)),
+                    )
+                keys = jax.random.split(key, accum)
+
+                def acc_body(g_sum, xs):
+                    mb, k = xs
+                    (_, a), g = jax.value_and_grad(
+                        self.loss_fn, has_aux=True
+                    )(state.params, mb, k)
+                    return jax.tree.map(jnp.add, g_sum, g), a
+
+                zero_g = jax.tree.map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+                )
+                g_sum, auxs = jax.lax.scan(acc_body, zero_g, (micro, keys))
+                grads = jax.tree.map(lambda g: g / accum, g_sum)
+                aux = jax.tree.map(lambda x: jnp.mean(x, axis=0), auxs)
+            else:
+                (_, aux), grads = jax.value_and_grad(
+                    self.loss_fn, has_aux=True
+                )(state.params, batch, key)
             grads = constrain_tp(grads)
             aux["grad_norm"] = optax.global_norm(grads)
             updates, opt_state = self.optimizer.update(
@@ -244,11 +282,14 @@ class Trainer:
         return jax.device_put(state, self._state_sharding(state))
 
     def _put(self, batch: dict) -> dict:
-        """Pad the leading dim to a mesh-size multiple (padded rows fully
-        masked -> contribute nothing) and shard over the data axis."""
+        """Pad the leading dim to a mesh-size (x grad_accum) multiple
+        (padded rows fully masked -> contribute nothing) and shard over the
+        data axis."""
         batch = {k: np.asarray(v) for k, v in batch.items()}
-        batch = pad_batch_to_multiple(batch, self.mesh.shape[
-            self.mesh.axis_names[0]])
+        batch = pad_batch_to_multiple(
+            batch,
+            self.mesh.shape[self.mesh.axis_names[0]] * self.grad_accum,
+        )
         s = batch_sharding(self.mesh)
         return {k: jax.device_put(v, s) for k, v in batch.items()}
 
