@@ -42,7 +42,8 @@ def newest_ckpt(logdir: str, prefix: str) -> str:
 
 def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                         num_mols=1000, batch_size=128, seed=2023,
-                        size_mean=18.0, size_std=5.0, use_ema=False):
+                        size_mean=18.0, size_std=5.0, use_ema=False,
+                        num_steps=None):
     import yaml
 
     cfg = {
@@ -52,6 +53,7 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
             "save_traj_prob": 0.0,
             "size_mean": size_mean, "size_std": size_std,
             "use_ema": use_ema,
+            **({"num_steps": int(num_steps)} if num_steps else {}),
         },
     }
     if bp_ckpt:
@@ -78,6 +80,8 @@ def main(argv=None):
     ap.add_argument("--guidance_scale", type=float, default=1e-4)
     ap.add_argument("--use_ema", action="store_true",
                     help="sample from the checkpoint's EMA weights")
+    ap.add_argument("--num_steps", type=int, default=None,
+                    help="respaced reverse chain on S evenly-spaced steps")
     args = ap.parse_args(argv)
 
     from scripts.evaluate_all import main as evaluate_main
@@ -103,12 +107,14 @@ def main(argv=None):
     results = {}
     for name, guidance in runs:
         tag = f"{name}_ema" if args.use_ema else name
+        if args.num_steps:
+            tag += f"_s{args.num_steps}"
         cfg_path = os.path.join(args.outdir, f"sample_{tag}.yml")
         write_sample_config(
             cfg_path, ckpt,
             bp_ckpt=bp_ckpt if guidance else None, guidance=guidance,
             num_mols=args.num_mols, batch_size=args.batch_size,
-            use_ema=args.use_ema,
+            use_ema=args.use_ema, num_steps=args.num_steps,
         )
         t0 = time.time()
         out_dir = sample_main([
