@@ -382,6 +382,8 @@ class MolDiff:
         save_traj: bool = False,
         guidance_interval: int = 1,
         num_steps: Optional[int] = None,
+        pos_sampler: str = "ddpm",
+        eta: float = 0.0,
     ) -> SampleResult:
         """Full T-step ancestral reverse sampler as one lax.scan.
 
@@ -431,6 +433,7 @@ class MolDiff:
             params, node_mask, guidance, bond_predictor, save_traj,
             guidance_interval=guidance_interval,
             transitions=transitions, t_map=t_map,
+            pos_sampler=pos_sampler, eta=eta,
         )
         init = (pos, h_node, h_halfedge, log_node, log_halfedge, zero_preds, k_scan)
         steps = jnp.arange(T - 1, -1, -1)
@@ -447,18 +450,25 @@ class MolDiff:
 
     def _make_scan_body(self, params, node_mask, guidance, bond_predictor,
                         save_traj: bool, guidance_interval: int = 1,
-                        transitions=None, t_map=None):
+                        transitions=None, t_map=None,
+                        pos_sampler: str = "ddpm", eta: float = 0.0):
         """One reverse step of the discrete sampler (shared by the single
         lax.scan and the chunked variant). Reference model.py:271-367.
 
         ``transitions``/``t_map``: respaced-chain support — posterior math
         runs on the respaced transitions indexed by the scan step, while the
         denoiser (and guidance bond predictor) see the ORIGINAL timestep
-        ``t_map[step]`` they were trained on."""
+        ``t_map[step]`` they were trained on.
+
+        ``pos_sampler``: 'ddpm' (reference-exact ancestral posterior) or
+        'ddim' with noise level ``eta`` (ops/gaussian.py:ddim_prev) for the
+        position chain; the categorical heads stay ancestral either way."""
         b = node_mask.shape[0]
         pos_tr, node_tr, edge_tr = transitions or (
             self.pos_transition, self.node_transition, self.edge_transition
         )
+        if pos_sampler not in ("ddpm", "ddim"):
+            raise ValueError(f"unknown pos_sampler: {pos_sampler}")
 
         def body(carry, step):
             pos, h_node, h_halfedge, log_node, log_halfedge, _, key = carry
@@ -468,9 +478,14 @@ class MolDiff:
 
             preds = self.forward(params, h_node, pos, h_halfedge, t_model, node_mask)
 
-            pos_prev = pos_tr.get_prev_from_recon(
-                x_t=pos, x_recon=preds.pred_pos, t=t, key=k_pos
-            )
+            if pos_sampler == "ddim":
+                pos_prev = pos_tr.ddim_prev(
+                    x_t=pos, x_recon=preds.pred_pos, t=t, key=k_pos, eta=eta
+                )
+            else:
+                pos_prev = pos_tr.get_prev_from_recon(
+                    x_t=pos, x_recon=preds.pred_pos, t=t, key=k_pos
+                )
 
             log_node_recon = jax.nn.log_softmax(preds.pred_node, axis=-1)
             log_node_new = node_tr.q_v_posterior(
@@ -545,6 +560,8 @@ class MolDiff:
         guidance_interval: int = 1,
         save_traj: bool = False,
         num_steps: Optional[int] = None,
+        pos_sampler: str = "ddpm",
+        eta: float = 0.0,
     ) -> SampleResult:
         """The T-step reverse chain as T/chunk_size sequential jitted scans
         with the carry threaded on host.
@@ -590,7 +607,8 @@ class MolDiff:
         gui_type = guidance[0] if guidance is not None else None
         gui_scale = float(guidance[1]) if guidance is not None else 0.0
         cache_key = (b, n, chunk_size, gui_type, bond_predictor is not None,
-                     guidance_interval, save_traj, num_steps)
+                     guidance_interval, save_traj, num_steps,
+                     pos_sampler, float(eta))
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
         if cache_key not in self._chunk_fns:
@@ -602,6 +620,7 @@ class MolDiff:
                     save_traj=save_traj,
                     guidance_interval=guidance_interval,
                     transitions=transitions, t_map=t_map,
+                    pos_sampler=pos_sampler, eta=eta,
                 )
                 return jax.lax.scan(body, carry, steps)
 

@@ -84,6 +84,35 @@ class GaussianTransition:
         time_zero = self._bcast(t == 0, x_t.ndim)
         return jnp.where(time_zero, mu, x_prev)
 
+    def ddim_prev(
+        self, x_t: jnp.ndarray, x_recon: jnp.ndarray, t: jnp.ndarray,
+        key: jax.Array, eta: float = 0.0,
+    ) -> jnp.ndarray:
+        """DDIM reverse step (Song et al., 2021) from the x0 prediction.
+
+        ``eta`` interpolates the noise level: 0 = deterministic DDIM,
+        1 = exactly the DDPM ancestral posterior (same mean AND std —
+        tested). Framework extension (the reference is ancestral-only,
+        models/transition.py:44-63); pairs with timestep respacing
+        (ops/respace.py) for low-step sampling.
+
+        At t == 0, alphas_bar_prev[0] == 1 makes both the noise scale and
+        the eps coefficient vanish, so the step returns x_recon — the same
+        no-noise final step as the DDPM path.
+        """
+        a_t = self._bcast(self.alphas_bar[t], x_t.ndim)
+        a_prev = self._bcast(self.alphas_bar_prev[t], x_t.ndim)
+        eps = (x_t - jnp.sqrt(a_t) * x_recon) / jnp.sqrt(1.0 - a_t)
+        sigma = eta * jnp.sqrt(
+            jnp.clip((1.0 - a_prev) / (1.0 - a_t), 0.0, None)
+            * jnp.clip(1.0 - a_t / a_prev, 0.0, None)
+        )
+        mean = (
+            jnp.sqrt(a_prev) * x_recon
+            + jnp.sqrt(jnp.clip(1.0 - a_prev - sigma**2, 0.0, None)) * eps
+        )
+        return mean + sigma * jax.random.normal(key, mean.shape, mean.dtype)
+
     def sample_init(self, shape, key: jax.Array) -> jnp.ndarray:
         """x_T ~ N(0, I). Reference models/transition.py:65-69."""
         return jax.random.normal(key, shape, dtype=jnp.float32)

@@ -45,6 +45,8 @@ class MolSampler:
         chunk_steps: Optional[int] = None,
         guidance_interval: int = 1,
         num_steps: Optional[int] = None,
+        pos_sampler: str = "ddpm",
+        eta: float = 0.0,
     ):
         self.model = model
         self.featurizer = featurizer
@@ -72,6 +74,10 @@ class MolSampler:
         # respaced reverse chain: run S << T evenly-spaced steps
         # (models/moldiff.py:_respaced); None = full reference-exact chain
         self.num_steps = num_steps
+        # position-chain sampler: 'ddpm' ancestral (reference-exact) or
+        # 'ddim' with noise level eta (ops/gaussian.py:ddim_prev)
+        self.pos_sampler = pos_sampler
+        self.eta = float(eta)
         if mesh is not None and batch_size % mesh.size != 0:
             raise ValueError(
                 f"batch_size {batch_size} must divide mesh size {mesh.size}"
@@ -120,6 +126,7 @@ class MolSampler:
                         guidance_interval=self.guidance_interval,
                         save_traj=save_traj,
                         num_steps=self.num_steps,
+                        pos_sampler=self.pos_sampler, eta=self.eta,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -144,6 +151,7 @@ class MolSampler:
                         save_traj=save_traj,
                         guidance_interval=self.guidance_interval,
                         num_steps=self.num_steps,
+                        pos_sampler=self.pos_sampler, eta=self.eta,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -165,6 +173,7 @@ class MolSampler:
                     save_traj=save_traj,
                     guidance_interval=self.guidance_interval,
                     num_steps=self.num_steps,
+                    pos_sampler=self.pos_sampler, eta=self.eta,
                 )
                 return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 

@@ -155,6 +155,8 @@ def build_service_from_checkpoint(
     max_mols_per_request: int = 1024,
     guidance_interval: int = 1,
     num_steps: Optional[int] = None,
+    pos_sampler: str = "ddpm",
+    eta: float = 0.0,
 ) -> SamplerService:
     """Checkpoint -> warm-able service. Mirrors the sample CLI's model
     construction (scripts/sample_drug3d.py; reference
@@ -212,6 +214,7 @@ def build_service_from_checkpoint(
         chunk_steps=chunk_steps,
         guidance_interval=guidance_interval,
         num_steps=num_steps,
+        pos_sampler=pos_sampler, eta=eta,
         **kw,
     )
     return SamplerService(sampler, params,

@@ -43,7 +43,7 @@ def newest_ckpt(logdir: str, prefix: str) -> str:
 def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                         num_mols=1000, batch_size=128, seed=2023,
                         size_mean=18.0, size_std=5.0, use_ema=False,
-                        num_steps=None):
+                        num_steps=None, pos_sampler=None, eta=None):
     import yaml
 
     cfg = {
@@ -54,6 +54,8 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
             "size_mean": size_mean, "size_std": size_std,
             "use_ema": use_ema,
             **({"num_steps": int(num_steps)} if num_steps else {}),
+            **({"pos_sampler": pos_sampler} if pos_sampler else {}),
+            **({"eta": float(eta)} if eta is not None else {}),
         },
     }
     if bp_ckpt:
@@ -82,6 +84,8 @@ def main(argv=None):
                     help="sample from the checkpoint's EMA weights")
     ap.add_argument("--num_steps", type=int, default=None,
                     help="respaced reverse chain on S evenly-spaced steps")
+    ap.add_argument("--pos_sampler", choices=["ddpm", "ddim"], default=None)
+    ap.add_argument("--eta", type=float, default=None)
     args = ap.parse_args(argv)
 
     from scripts.evaluate_all import main as evaluate_main
@@ -109,12 +113,15 @@ def main(argv=None):
         tag = f"{name}_ema" if args.use_ema else name
         if args.num_steps:
             tag += f"_s{args.num_steps}"
+        if args.pos_sampler:
+            tag += f"_{args.pos_sampler}"
         cfg_path = os.path.join(args.outdir, f"sample_{tag}.yml")
         write_sample_config(
             cfg_path, ckpt,
             bp_ckpt=bp_ckpt if guidance else None, guidance=guidance,
             num_mols=args.num_mols, batch_size=args.batch_size,
             use_ema=args.use_ema, num_steps=args.num_steps,
+            pos_sampler=args.pos_sampler, eta=args.eta,
         )
         t0 = time.time()
         out_dir = sample_main([

@@ -189,6 +189,10 @@ def main(argv=None):
     # (ops/respace.py); None/absent = full reference-exact 1000 steps
     num_steps = args.num_steps or config.sample.get("num_steps")
     num_steps = int(num_steps) if num_steps else None
+    # framework extension: DDIM position chain (sample.pos_sampler: ddim,
+    # sample.eta; default ddpm = reference-exact ancestral)
+    pos_sampler = str(config.sample.get("pos_sampler", "ddpm") or "ddpm")
+    eta = float(config.sample.get("eta", 0.0) or 0.0)
     # guided chains run denoiser + bond-predictor grad per step; chunk them
     # so one device execution stays under runtime deadlines
     chunk_steps = None
@@ -204,6 +208,7 @@ def main(argv=None):
         # reference-exact; the guidance grad costs ~5x a denoiser step)
         guidance_interval=int(config.sample.get("guidance_interval", 1)),
         num_steps=num_steps,
+        pos_sampler=pos_sampler, eta=eta,
         **size_kw,
     )
     key = jax.random.key(config.sample.seed)

@@ -37,6 +37,9 @@ def main(argv=None):
     p.add_argument("--guidance_interval", type=int, default=1)
     p.add_argument("--num_steps", type=int, default=None,
                    help="respaced reverse chain on S evenly-spaced steps")
+    p.add_argument("--pos_sampler", choices=["ddpm", "ddim"], default="ddpm")
+    p.add_argument("--eta", type=float, default=0.0,
+                   help="DDIM noise level (0 deterministic, 1 == ddpm)")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip startup compiles (first requests pay them)")
     args = p.parse_args(argv)
@@ -61,6 +64,7 @@ def main(argv=None):
         max_mols_per_request=args.max_mols_per_request,
         guidance_interval=args.guidance_interval,
         num_steps=args.num_steps,
+        pos_sampler=args.pos_sampler, eta=args.eta,
     )
     if not args.no_warmup:
         service.warmup(logger=logger)
