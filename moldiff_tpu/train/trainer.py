@@ -390,6 +390,32 @@ def save_checkpoint(path, state: TrainState, model_config=None, scheduler=None,
     os.replace(tmp, path)
 
 
+def prune_checkpoints(ckpt_dir: str, keep: int) -> list:
+    """Keep only the ``keep`` newest numeric checkpoints (<it>.ckpt files or
+    sharded directories) under ``ckpt_dir``; non-numeric names (best.ckpt,
+    final.ckpt) are never touched. keep <= 0 keeps everything (the reference
+    behavior — it never prunes). Returns the removed paths."""
+    import glob
+    import shutil
+
+    if keep <= 0:
+        return []
+    numeric = []
+    for p in glob.glob(os.path.join(ckpt_dir, "*.ckpt")):
+        stem = os.path.splitext(os.path.basename(p))[0]
+        if stem.isdigit():
+            numeric.append((int(stem), p))
+    numeric.sort()
+    removed = []
+    for _, p in numeric[:-keep]:
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        else:
+            os.remove(p)
+        removed.append(p)
+    return removed
+
+
 def load_checkpoint(path: str) -> dict:
     """Load a pickle checkpoint, or a sharded checkpoint directory
     (train/checkpoint_sharded.py) flattened to the same dict contract —

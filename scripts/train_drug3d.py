@@ -197,6 +197,11 @@ def main(argv=None):
             else:
                 trainer.save_checkpoint(path, state, model_config=config, key=key)
             logger.info(f"saved {path}")
+            # train.keep_ckpts: retain only the K newest numeric checkpoints
+            # (0/absent = keep all, the reference behavior)
+            from moldiff_tpu.train.trainer import prune_checkpoints
+
+            prune_checkpoints(ckpt_dir, int(config.train.get("keep_ckpts", 0) or 0))
 
     if async_ckpt is not None:
         async_ckpt.wait()

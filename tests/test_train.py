@@ -283,6 +283,23 @@ class TestTrainer:
         state, aux = tr.train_step(state, batch, jax.random.key(1))
         assert np.isfinite(float(aux["loss"]))
 
+    def test_prune_checkpoints(self, tmp_path):
+        from moldiff_tpu.train.trainer import prune_checkpoints
+
+        d = tmp_path / "checkpoints"
+        d.mkdir()
+        for it in (1000, 2000, 10000, 3000):
+            (d / f"{it}.ckpt").write_bytes(b"x")
+        (d / "best.ckpt").write_bytes(b"x")       # non-numeric: never pruned
+        (d / "500.ckpt").mkdir()                  # sharded dir counts too
+        removed = prune_checkpoints(str(d), keep=2)
+        left = sorted(os.listdir(d))
+        assert left == ["10000.ckpt", "3000.ckpt", "best.ckpt"]
+        assert len(removed) == 3
+        # keep=0 keeps everything (reference behavior)
+        assert prune_checkpoints(str(d), keep=0) == []
+        assert sorted(os.listdir(d)) == left
+
     def test_scheduler_step_updates_lr(self, trainer):
         state = trainer.init_state(jax.random.key(0))
         lr0 = get_lr(state.opt_state)
