@@ -357,18 +357,25 @@ class MolDiff:
             subset = respace_timesteps(self.num_timesteps, num_steps)
             rb = {k: respaced_betas(v, subset) for k, v in self._raw_betas.items()}
             diff = self.config["diff"]
-            transitions = (
-                GaussianTransition(rb["pos"]),
-                CategoricalTransition(
-                    rb["node"], self.num_node_types,
-                    init_prob=diff["diff_atom"]["init_prob"],
-                ),
-                CategoricalTransition(
-                    rb["edge"], self.num_edge_types,
-                    init_prob=diff["diff_bond"]["init_prob"],
-                ),
-            )
-            t_map = jnp.asarray(subset, dtype=jnp.int32)
+            # the sampler is usually jitted (MolSampler wraps sample() in
+            # jax.jit), so this cache-fill can run DURING tracing; without
+            # ensure_compile_time_eval the jnp constants inside the
+            # transitions / t_map would be tracers of that first trace and
+            # leak into later traces (second bucket size) ->
+            # UnexpectedTracerError. This forces them concrete.
+            with jax.ensure_compile_time_eval():
+                transitions = (
+                    GaussianTransition(rb["pos"]),
+                    CategoricalTransition(
+                        rb["node"], self.num_node_types,
+                        init_prob=diff["diff_atom"]["init_prob"],
+                    ),
+                    CategoricalTransition(
+                        rb["edge"], self.num_edge_types,
+                        init_prob=diff["diff_bond"]["init_prob"],
+                    ),
+                )
+                t_map = jnp.asarray(subset, dtype=jnp.int32)
             self._respace_cache[num_steps] = (transitions, t_map)
         return self._respace_cache[num_steps]
 

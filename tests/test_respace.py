@@ -154,6 +154,22 @@ class TestRespacedSampler:
         )
         assert np.isfinite(np.asarray(res.pred_pos)).all()
 
+    def test_respaced_cache_survives_retrace(self, setup):
+        """The respaced transitions are cached on the model and the sampler
+        is jitted by MolSampler — a SECOND trace (new bucket size) must not
+        see leaked tracers from the first trace's cache fill (regression:
+        UnexpectedTracerError int32[S] in the --num_steps quality soak)."""
+        model, params, _ = setup
+
+        @jax.jit
+        def run(params, node_mask, key):
+            return model.sample(params, node_mask, key, num_steps=4).pred_pos
+
+        out1 = run(params, jnp.ones((2, 6), jnp.float32), jax.random.key(0))
+        out2 = run(params, jnp.ones((2, 8), jnp.float32), jax.random.key(0))
+        assert np.isfinite(np.asarray(out1)).all()
+        assert np.isfinite(np.asarray(out2)).all()
+
     def test_full_steps_arg_is_noop_path(self, setup):
         """num_steps >= T falls through to the reference-exact chain."""
         model, params, node_mask = setup
