@@ -44,6 +44,7 @@ def _equal_trees(a, b):
 
 
 class TestShardedRoundtrip:
+    @pytest.mark.slow
     def test_fsdp_state_roundtrip_same_sharding(self, tmp_path):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
@@ -87,6 +88,7 @@ class TestShardedRoundtrip:
         loaded = load_checkpoint_sharded(path)
         np.testing.assert_array_equal(loaded["state"]["w"], np.asarray(full))
 
+    @pytest.mark.slow
     def test_reshard_on_load_tp_to_fsdp(self, tmp_path):
         """A checkpoint saved from a TP mesh loads onto an FSDP layout —
         resharding is a load-time property."""
@@ -109,6 +111,7 @@ class TestShardedRoundtrip:
         loaded = load_checkpoint_sharded(path, shardings=fsdp_spec)
         _equal_trees(s_tp, loaded["state"])
 
+    @pytest.mark.slow
     def test_load_without_shardings_gives_numpy(self, tmp_path):
         if len(jax.devices()) < 8:
             pytest.skip("needs 8 virtual devices")
@@ -143,6 +146,7 @@ class TestShardedRoundtrip:
 
 
 class TestTrainerIntegration:
+    @pytest.mark.slow
     def test_trainer_resume_from_sharded_dir(self, tmp_path):
         """Trainer.load_checkpoint on a directory does a direct sharded
         load (each device reads its own shards) and restores the scheduler."""

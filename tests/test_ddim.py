@@ -84,6 +84,7 @@ class TestDdimSampler:
         for x in (res.pred_node, res.pred_pos, res.pred_halfedge):
             assert np.isfinite(np.asarray(x)).all()
 
+    @pytest.mark.slow
     def test_ddim_eta1_first_step_matches_ddpm(self, setup):
         """eta=1 equals DDPM exactly per step (TestDdimStep proves the
         formula); through the model, one reverse step from the same prior
@@ -110,6 +111,7 @@ class TestDdimSampler:
             np.asarray(ddpm), np.asarray(ddim), rtol=2e-4, atol=2e-5
         )
 
+    @pytest.mark.slow
     def test_ddim_with_respacing(self, setup):
         model, params, node_mask = setup
         res = model.sample(

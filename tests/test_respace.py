@@ -130,6 +130,7 @@ class TestRespacedSampler:
         )
         assert res.traj[0].shape[0] == 3 + 1  # S steps + the prior state
 
+    @pytest.mark.slow
     def test_chunked_matches_single_scan(self, setup):
         model, params, node_mask = setup
         r1 = model.sample(params, node_mask, jax.random.key(2), num_steps=4)
@@ -143,6 +144,7 @@ class TestRespacedSampler:
             np.asarray(r1.pred_halfedge), np.asarray(r2.pred_halfedge)
         )
 
+    @pytest.mark.slow
     def test_guided_respaced_runs(self, setup):
         model, params, node_mask = setup
         bp = tiny_bondpred()
@@ -170,6 +172,7 @@ class TestRespacedSampler:
         assert np.isfinite(np.asarray(out1)).all()
         assert np.isfinite(np.asarray(out2)).all()
 
+    @pytest.mark.slow
     def test_full_steps_arg_is_noop_path(self, setup):
         """num_steps >= T falls through to the reference-exact chain."""
         model, params, node_mask = setup

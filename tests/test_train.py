@@ -231,6 +231,7 @@ class TestTrainer:
         blob = load_checkpoint(path)
         assert blob["config"]["node_dim"] == 16
 
+    @pytest.mark.slow
     def test_grad_accum_matches_manual_average(self, rng):
         """K=2 accumulation must equal hand-computed per-microbatch grads
         (same split keys) averaged and fed through the same optimizer."""
