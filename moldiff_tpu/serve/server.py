@@ -35,6 +35,19 @@ import jax
 import numpy as np
 
 
+class _Pending:
+    """One coalesce-eligible /generate request waiting for its batch."""
+
+    __slots__ = ("num_mols", "want_sdf", "event", "result", "error")
+
+    def __init__(self, num_mols: int, want_sdf: bool):
+        self.num_mols = num_mols
+        self.want_sdf = want_sdf
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
 class SamplerService:
     """Thread-safe generation service around a ``MolSampler``.
 
@@ -43,7 +56,8 @@ class SamplerService:
     bounds one request's device time.
     """
 
-    def __init__(self, sampler, params, max_mols_per_request: int = 1024):
+    def __init__(self, sampler, params, max_mols_per_request: int = 1024,
+                 batch_window_ms: float = 0.0):
         self.sampler = sampler
         self.params = params
         self.max_mols_per_request = int(max_mols_per_request)
@@ -51,12 +65,29 @@ class SamplerService:
         self._seed_counter = 0
         self.stats = {
             "requests": 0,
+            "batches": 0,
             "mols_generated": 0,
             "mols_failed": 0,
             "errors": 0,
             "total_generate_s": 0.0,
             "max_generate_s": 0.0,
         }
+        # request coalescing: unseeded /generate requests arriving within
+        # ``batch_window_ms`` are merged into ONE device batch (the TPU's
+        # throughput comes from batch size, so many small concurrent
+        # requests would otherwise each pay a full chain). Seeded or
+        # scale-overriding requests bypass coalescing (reproducibility /
+        # conflicting scales). 0 = off.
+        self.batch_window_ms = float(batch_window_ms)
+        self._queue = []
+        self._cv = threading.Condition()
+        self._stop = False
+        self._worker = None
+        if self.batch_window_ms > 0:
+            self._worker = threading.Thread(
+                target=self._batch_worker, daemon=True
+            )
+            self._worker.start()
 
     # -- lifecycle -----------------------------------------------------------
 
@@ -134,6 +165,125 @@ class SamplerService:
             )
             return out
 
+    # -- request coalescing ----------------------------------------------------
+
+    def submit(
+        self,
+        num_mols: int,
+        seed: Optional[int] = None,
+        guidance_scale: Optional[float] = None,
+        want_sdf: bool = False,
+    ) -> dict:
+        """Entry point used by the HTTP layer. Coalesce-eligible requests
+        (unseeded, no scale override, window enabled) are merged with
+        concurrent ones into a single device batch; everything else takes
+        the direct path."""
+        if (
+            self.batch_window_ms <= 0
+            or seed is not None
+            or guidance_scale is not None
+        ):
+            return self.generate(num_mols, seed=seed,
+                                 guidance_scale=guidance_scale,
+                                 want_sdf=want_sdf)
+        num_mols = int(num_mols)
+        if num_mols < 1 or num_mols > self.max_mols_per_request:
+            raise ValueError(
+                f"num_mols must be in [1, {self.max_mols_per_request}]"
+            )
+        req = _Pending(num_mols, want_sdf)
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self) -> None:
+        """Stop the coalescing worker (tests / clean shutdown)."""
+        self._stop = True
+        with self._cv:
+            self._cv.notify_all()
+        if self._worker is not None:
+            self._worker.join(timeout=5)
+
+    def _batch_worker(self) -> None:
+        while not self._stop:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait(timeout=0.1)
+                if self._stop:
+                    # fail any stragglers rather than hanging their threads
+                    for r in self._queue:
+                        r.error = RuntimeError("service closed")
+                        r.event.set()
+                    self._queue.clear()
+                    return
+                batch = [self._queue.pop(0)]
+            total = batch[0].num_mols
+            deadline = time.time() + self.batch_window_ms / 1000.0
+            while total < self.max_mols_per_request:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                with self._cv:
+                    if (self._queue and total + self._queue[0].num_mols
+                            <= self.max_mols_per_request):
+                        r = self._queue.pop(0)
+                        batch.append(r)
+                        total += r.num_mols
+                        continue
+                time.sleep(min(0.002, max(remaining, 0)))
+            try:
+                self._run_batch(batch, total)
+            except Exception as e:  # noqa: BLE001 — propagate per request
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+
+    def _run_batch(self, batch, total: int) -> None:
+        with self._lock:
+            seed = 100_000 + self._seed_counter
+            self._seed_counter += 1
+            t0 = time.time()
+            pool = self.sampler.generate(
+                self.params, total, jax.random.key(seed),
+                rng=np.random.default_rng(seed),
+            )
+            dt = time.time() - t0
+            finished = pool["finished"]
+            n_failed = len(pool["failed"])
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["mols_generated"] += len(finished)
+            self.stats["mols_failed"] += n_failed
+            self.stats["total_generate_s"] += dt
+            self.stats["max_generate_s"] = max(self.stats["max_generate_s"], dt)
+        # partition the pool in request order (outside the device lock)
+        offset = 0
+        for r in batch:
+            entries = finished[offset:offset + r.num_mols]
+            offset += r.num_mols
+            out = {
+                "smiles": [e["smiles"] for e in entries],
+                "num_failed": 0 if len(entries) == r.num_mols else
+                              r.num_mols - len(entries),
+                "elapsed_s": round(dt, 3),
+                "seed": int(seed),
+                "coalesced": len(batch),
+                "batch_num_failed": n_failed,
+            }
+            if r.want_sdf:
+                from ..chem.sdf import mol_to_molblock
+
+                out["sdf"] = [
+                    mol_to_molblock(e["mol"], name=f"mol_{i}") + "$$$$\n"
+                    for i, e in enumerate(entries)
+                ]
+            r.result = out
+            r.event.set()
+
     def health(self) -> dict:
         return {
             "status": "ok",
@@ -157,6 +307,7 @@ def build_service_from_checkpoint(
     num_steps: Optional[int] = None,
     pos_sampler: str = "ddpm",
     eta: float = 0.0,
+    batch_window_ms: float = 0.0,
 ) -> SamplerService:
     """Checkpoint -> warm-able service. Mirrors the sample CLI's model
     construction (scripts/sample_drug3d.py; reference
@@ -218,7 +369,8 @@ def build_service_from_checkpoint(
         **kw,
     )
     return SamplerService(sampler, params,
-                          max_mols_per_request=max_mols_per_request)
+                          max_mols_per_request=max_mols_per_request,
+                          batch_window_ms=batch_window_ms)
 
 
 def make_http_server(
@@ -261,7 +413,7 @@ def make_http_server(
             try:
                 length = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                out = service.generate(
+                out = service.submit(
                     num_mols=req.get("num_mols", 1),
                     seed=req.get("seed"),
                     guidance_scale=req.get("guidance_scale"),

@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument("--pos_sampler", choices=["ddpm", "ddim"], default="ddpm")
     p.add_argument("--eta", type=float, default=0.0,
                    help="DDIM noise level (0 deterministic, 1 == ddpm)")
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   help="coalesce concurrent unseeded /generate requests "
+                        "arriving within this window into one device batch")
     p.add_argument("--no_warmup", action="store_true",
                    help="skip startup compiles (first requests pay them)")
     args = p.parse_args(argv)
@@ -65,6 +68,7 @@ def main(argv=None):
         guidance_interval=args.guidance_interval,
         num_steps=args.num_steps,
         pos_sampler=args.pos_sampler, eta=args.eta,
+        batch_window_ms=args.batch_window_ms,
     )
     if not args.no_warmup:
         service.warmup(logger=logger)
