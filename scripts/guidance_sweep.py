@@ -122,6 +122,8 @@ def main(argv=None):
     ap.add_argument("--skip_unguided", action="store_true")
     ap.add_argument("--use_ema", action="store_true",
                     help="use the checkpoint's EMA weights")
+    ap.add_argument("--num_steps", type=int, default=None,
+                    help="respaced reverse chain on S evenly-spaced steps")
     ap.add_argument("--add_edge", choices=["distance"], default=None,
                     help="perceive bonds from distances (reference 'edm' "
                          "path) — makes success purely geometric, the regime "
@@ -163,13 +165,15 @@ def main(argv=None):
                        num_edge_types=featurizer.num_bond_types + 1)
     bond_predictor = (bp, jax.device_put(bp_ckpt["params"]))
 
-    T = model.num_timesteps
+    T = args.num_steps or model.num_timesteps
     chunk = next(c for c in (100, 50, 25, 20, 10, 5, 1) if T % c == 0)
     common = dict(batch_size=args.batch_size, size_mean=args.size_mean,
-                  size_std=args.size_std, add_edge=args.add_edge)
+                  size_std=args.size_std, add_edge=args.add_edge,
+                  num_steps=args.num_steps)
     results = {"ckpt": args.ckpt, "bp_ckpt": args.bp_ckpt,
                "ckpt_step": ckpt["step"], "mode": args.mode,
-               "num_mols": args.num_mols, "seed": args.seed, "runs": {}}
+               "num_mols": args.num_mols, "seed": args.seed,
+               "num_steps": args.num_steps, "runs": {}}
     geom_ref = None
     if args.dataset_root:
         geom_ref = geometry_reference(args.dataset_root)
