@@ -86,11 +86,12 @@ class MetricsWriter:
     """Append-only JSONL scalar writer, with optional TensorBoard tee.
 
     One line per step: {"step": int, "tag": str, "value": float, "ts": float}.
-    JSONL is the primary store (cheap, grep/pandas-able); when
-    ``tensorboard=True`` (or env ``MOLDIFF_TB=1``) scalars are also written
-    as TB events like the reference train scripts
-    (`/root/reference/scripts/train_drug3d.py:115-119`). TB is opt-in
-    because importing torch.utils.tensorboard costs ~1.5 min in this image.
+    JSONL is the primary store (cheap, grep/pandas-able); scalars are also
+    teed to a TensorBoard event file like the reference train scripts
+    (`/root/reference/scripts/train_drug3d.py:115-119`) via the first-party
+    zero-dependency writer (utils/tb_writer.py — no torch.utils.tensorboard
+    import, which costs ~1.5 min in this image). Disable with
+    ``tensorboard=False`` or env ``MOLDIFF_TB=0``.
     """
 
     def __init__(self, log_dir: str, filename: str = "metrics.jsonl",
@@ -98,15 +99,12 @@ class MetricsWriter:
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, filename), "a", buffering=1)
         if tensorboard is None:
-            tensorboard = os.environ.get("MOLDIFF_TB", "0") == "1"
+            tensorboard = os.environ.get("MOLDIFF_TB", "1") != "0"
         self._tb = None
         if tensorboard:
-            try:
-                from torch.utils.tensorboard import SummaryWriter
+            from .tb_writer import TBEventWriter
 
-                self._tb = SummaryWriter(log_dir)
-            except Exception:  # tensorboard not importable: JSONL only
-                self._tb = None
+            self._tb = TBEventWriter(log_dir)
 
     def add_scalar(self, tag: str, value, step: int) -> None:
         self._f.write(

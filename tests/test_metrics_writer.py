@@ -18,12 +18,41 @@ def test_jsonl_scalars(tmp_path):
     assert lines[1]["value"] == 2.5
 
 
-@pytest.mark.slow
 def test_tensorboard_tee(tmp_path):
     w = MetricsWriter(str(tmp_path), tensorboard=True)
     w.add_scalar("train/loss", 0.5, 1)
     w.close()
-    # JSONL always written; TB events file written when importable
     assert (tmp_path / "metrics.jsonl").exists()
     names = os.listdir(tmp_path)
-    assert any(n.startswith("events.out.tfevents") for n in names), names
+    tb = [n for n in names if n.startswith("events.out.tfevents")]
+    assert tb, names
+    # the first-party writer's own reader verifies CRCs and decodes values
+    from moldiff_tpu.utils.tb_writer import read_events
+
+    events = read_events(str(tmp_path / tb[0]))
+    assert events[0]["file_version"] == "brain.Event:2"
+    assert events[1]["tag"] == "train/loss"
+    assert events[1]["value"] == pytest.approx(0.5)
+    assert events[1]["step"] == 1
+
+
+class TestTBWriter:
+    def test_crc32c_known_vectors(self):
+        from moldiff_tpu.utils.tb_writer import crc32c
+
+        # RFC 3720 / kernel test vectors
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"") == 0
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+    def test_roundtrip_many_scalars(self, tmp_path):
+        from moldiff_tpu.utils.tb_writer import TBEventWriter, read_events
+
+        w = TBEventWriter(str(tmp_path))
+        for i in range(50):
+            w.add_scalar("a/b", i * 0.25, i)
+        w.close()
+        ev = read_events(w.path)
+        assert len(ev) == 51
+        for i, e in enumerate(ev[1:]):
+            assert e["step"] == i and e["value"] == pytest.approx(i * 0.25)
