@@ -349,14 +349,10 @@ class MolDiff:
         if num_steps not in self._respace_cache:
             from moldiff_tpu.ops.respace import respace_timesteps, respaced_betas
 
-            if self.categorical_space != "discrete":
-                raise NotImplementedError(
-                    "num_steps respacing supports the discrete categorical "
-                    "space (the flagship config)"
-                )
             subset = respace_timesteps(self.num_timesteps, num_steps)
             rb = {k: respaced_betas(v, subset) for k, v in self._raw_betas.items()}
             diff = self.config["diff"]
+            scaling = list(diff.get("scaling", [1.0, 1.0, 1.0]))
             # the sampler is usually jitted (MolSampler wraps sample() in
             # jax.jit), so this cache-fill can run DURING tracing; without
             # ensure_compile_time_eval the jnp constants inside the
@@ -364,17 +360,28 @@ class MolDiff:
             # leak into later traces (second bucket size) ->
             # UnexpectedTracerError. This forces them concrete.
             with jax.ensure_compile_time_eval():
-                transitions = (
-                    GaussianTransition(rb["pos"]),
-                    CategoricalTransition(
-                        rb["node"], self.num_node_types,
-                        init_prob=diff["diff_atom"]["init_prob"],
-                    ),
-                    CategoricalTransition(
-                        rb["edge"], self.num_edge_types,
-                        init_prob=diff["diff_bond"]["init_prob"],
-                    ),
-                )
+                if self.categorical_space == "discrete":
+                    transitions = (
+                        GaussianTransition(rb["pos"]),
+                        CategoricalTransition(
+                            rb["node"], self.num_node_types,
+                            init_prob=diff["diff_atom"]["init_prob"],
+                        ),
+                        CategoricalTransition(
+                            rb["edge"], self.num_edge_types,
+                            init_prob=diff["diff_bond"]["init_prob"],
+                        ),
+                    )
+                else:  # continuous mode: all three chains are Gaussian
+                    transitions = (
+                        GaussianTransition(rb["pos"]),
+                        GaussianTransition(rb["node"],
+                                           num_classes=self.num_node_types,
+                                           scaling=scaling[1]),
+                        GaussianTransition(rb["edge"],
+                                           num_classes=self.num_edge_types,
+                                           scaling=scaling[2]),
+                    )
                 t_map = jnp.asarray(subset, dtype=jnp.int32)
             self._respace_cache[num_steps] = (transitions, t_map)
         return self._respace_cache[num_steps]
@@ -414,7 +421,8 @@ class MolDiff:
 
         if self.categorical_space == "continuous":
             return self._sample_continuous(
-                params, node_mask, key, guidance, bond_predictor, save_traj
+                params, node_mask, key, guidance, bond_predictor, save_traj,
+                num_steps=num_steps,
             )
 
         transitions, t_map = None, None
@@ -669,7 +677,7 @@ class MolDiff:
 
     def _sample_continuous(
         self, params, node_mask, key, guidance=None, bond_predictor=None,
-        save_traj: bool = False,
+        save_traj: bool = False, num_steps=None,
     ) -> SampleResult:
         """Reverse sampler for the continuous categorical space: node/edge
         one-hot features follow Gaussian posteriors like positions
@@ -677,15 +685,17 @@ class MolDiff:
         b, n = node_mask.shape
         e = graph_ops.num_halfedges(n)
         T = self.num_timesteps
+        t_map = None
+        pos_tr = self.pos_transition
+        node_tr, edge_tr = self.node_transition, self.edge_transition
+        if num_steps is not None and num_steps < T:
+            (pos_tr, node_tr, edge_tr), t_map = self._respaced(num_steps)
+            T = num_steps
 
         k_node, k_pos, k_edge, k_scan = jax.random.split(key, 4)
-        h_node = self.node_transition.sample_init(
-            (b, n, self.num_node_types), k_node
-        )
-        pos = self.pos_transition.sample_init((b, n, 3), k_pos)
-        h_halfedge = self.edge_transition.sample_init(
-            (b, e, self.num_edge_types), k_edge
-        )
+        h_node = node_tr.sample_init((b, n, self.num_node_types), k_node)
+        pos = pos_tr.sample_init((b, n, 3), k_pos)
+        h_halfedge = edge_tr.sample_init((b, e, self.num_edge_types), k_edge)
         zero_preds = MolDiffPreds(
             jnp.zeros((b, n, self.num_node_types)),
             jnp.zeros((b, n, 3)),
@@ -696,15 +706,18 @@ class MolDiff:
             pos, h_node, h_halfedge, _, key = carry
             key, k_pos, k_node, k_edge = jax.random.split(key, 4)
             t = jnp.full((b,), step, dtype=jnp.int32)
+            t_model = t if t_map is None else jnp.full((b,), t_map[step],
+                                                       jnp.int32)
 
-            preds = self.forward(params, h_node, pos, h_halfedge, t, node_mask)
-            pos_prev = self.pos_transition.get_prev_from_recon(
+            preds = self.forward(params, h_node, pos, h_halfedge, t_model,
+                                 node_mask)
+            pos_prev = pos_tr.get_prev_from_recon(
                 x_t=pos, x_recon=preds.pred_pos, t=t, key=k_pos
             )
-            h_node_prev = self.node_transition.get_prev_from_recon(
+            h_node_prev = node_tr.get_prev_from_recon(
                 x_t=h_node, x_recon=preds.pred_node, t=t, key=k_node
             )
-            h_halfedge_prev = self.edge_transition.get_prev_from_recon(
+            h_halfedge_prev = edge_tr.get_prev_from_recon(
                 x_t=h_halfedge, x_recon=preds.pred_halfedge, t=t, key=k_edge
             )
 
@@ -714,7 +727,7 @@ class MolDiff:
                     halfedge_type_prev = jnp.argmax(h_halfedge_prev, axis=-1)
                     delta = _bond_guidance_delta(
                         bond_predictor, gui_type, gui_scale,
-                        h_node_pert=h_node, pos_pert=pos, t=t,
+                        h_node_pert=h_node, pos_pert=pos, t=t_model,
                         node_mask=node_mask,
                         halfedge_type_prev=halfedge_type_prev,
                         log_halfedge_type=jax.nn.log_softmax(

@@ -186,6 +186,46 @@ class TestRespacedSampler:
         )
 
 
+class TestContinuousRespace:
+    def test_continuous_mode_respaced_sample(self):
+        """The continuous categorical space respaces too — all three chains
+        are Gaussian, so the composed-beta construction applies directly."""
+        from moldiff_tpu.models.moldiff import MolDiff
+        from moldiff_tpu.utils.config import Config
+
+        cfg = Config({
+            "node_dim": 16, "edge_dim": 8,
+            "denoiser": {"num_blocks": 1, "cutoff": 10, "use_gate": True},
+            "diff": {
+                "num_timesteps": 8, "time_dim": 4,
+                "categorical_space": "continuous",
+                "scaling": [1.0, 4.0, 8.0],
+                "diff_pos": {"beta_schedule": "advance",
+                             "scale_start": 0.9999, "scale_end": 0.0001,
+                             "width": 3},
+                "diff_atom": {"init_prob": "tomask",
+                              "beta_schedule": "advance",
+                              "scale_start": 0.9999, "scale_end": 0.0001,
+                              "width": 3},
+                "diff_bond": {"init_prob": "absorb",
+                              "beta_schedule": "advance",
+                              "scale_start": 0.9999, "scale_end": 0.0001,
+                              "width": 3},
+            },
+        })
+        model = MolDiff(cfg, 8, 6)
+        params = model.init_params(jax.random.key(0))
+        node_mask = jnp.ones((2, 5), jnp.float32)
+        res = model.sample(params, node_mask, jax.random.key(1), num_steps=3)
+        for x in (res.pred_node, res.pred_pos, res.pred_halfedge):
+            assert np.isfinite(np.asarray(x)).all()
+        # respaced transitions carry the continuous-mode scaling
+        (_, node_tr, edge_tr), t_map = model._respaced(3)
+        assert node_tr.num_classes == 8 and node_tr.scaling == 4.0
+        assert edge_tr.num_classes == 6 and edge_tr.scaling == 8.0
+        assert t_map.shape == (3,)
+
+
 class TestSamplerPipeline:
     def test_molsampler_num_steps(self):
         from moldiff_tpu.data.featurize import MolFeaturizer
