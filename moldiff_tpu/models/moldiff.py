@@ -337,7 +337,7 @@ class MolDiff:
 
     # -- sampling ----------------------------------------------------------------
 
-    def _respaced(self, num_steps: int):
+    def _respaced(self, num_steps: int, gamma: float = 1.0):
         """(transitions, t_map) for an ``num_steps``-step reverse chain.
 
         Both transition families compose exactly under striding
@@ -346,10 +346,11 @@ class MolDiff:
         to the denoiser (the time embedding the network was trained with).
         Cached per num_steps (host float64 precompute + constant upload).
         """
-        if num_steps not in self._respace_cache:
+        cache_key = (num_steps, float(gamma))
+        if cache_key not in self._respace_cache:
             from moldiff_tpu.ops.respace import respace_timesteps, respaced_betas
 
-            subset = respace_timesteps(self.num_timesteps, num_steps)
+            subset = respace_timesteps(self.num_timesteps, num_steps, gamma)
             rb = {k: respaced_betas(v, subset) for k, v in self._raw_betas.items()}
             diff = self.config["diff"]
             scaling = list(diff.get("scaling", [1.0, 1.0, 1.0]))
@@ -383,8 +384,8 @@ class MolDiff:
                                            scaling=scaling[2]),
                     )
                 t_map = jnp.asarray(subset, dtype=jnp.int32)
-            self._respace_cache[num_steps] = (transitions, t_map)
-        return self._respace_cache[num_steps]
+            self._respace_cache[cache_key] = (transitions, t_map)
+        return self._respace_cache[cache_key]
 
     def sample(
         self,
@@ -398,6 +399,7 @@ class MolDiff:
         num_steps: Optional[int] = None,
         pos_sampler: str = "ddpm",
         eta: float = 0.0,
+        respace_gamma: float = 1.0,
     ) -> SampleResult:
         """Full T-step ancestral reverse sampler as one lax.scan.
 
@@ -422,12 +424,12 @@ class MolDiff:
         if self.categorical_space == "continuous":
             return self._sample_continuous(
                 params, node_mask, key, guidance, bond_predictor, save_traj,
-                num_steps=num_steps,
+                num_steps=num_steps, respace_gamma=respace_gamma,
             )
 
         transitions, t_map = None, None
         if num_steps is not None and num_steps < T:
-            transitions, t_map = self._respaced(num_steps)
+            transitions, t_map = self._respaced(num_steps, respace_gamma)
             T = num_steps
         pos_tr = transitions[0] if transitions else self.pos_transition
         node_tr = transitions[1] if transitions else self.node_transition
@@ -577,6 +579,7 @@ class MolDiff:
         num_steps: Optional[int] = None,
         pos_sampler: str = "ddpm",
         eta: float = 0.0,
+        respace_gamma: float = 1.0,
     ) -> SampleResult:
         """The T-step reverse chain as T/chunk_size sequential jitted scans
         with the carry threaded on host.
@@ -600,7 +603,7 @@ class MolDiff:
         T = self.num_timesteps
         transitions, t_map = None, None
         if num_steps is not None and num_steps < T:
-            transitions, t_map = self._respaced(num_steps)
+            transitions, t_map = self._respaced(num_steps, respace_gamma)
             T = num_steps
         pos_tr = transitions[0] if transitions else self.pos_transition
         node_tr = transitions[1] if transitions else self.node_transition
@@ -623,7 +626,7 @@ class MolDiff:
         gui_scale = float(guidance[1]) if guidance is not None else 0.0
         cache_key = (b, n, chunk_size, gui_type, bond_predictor is not None,
                      guidance_interval, save_traj, num_steps,
-                     pos_sampler, float(eta))
+                     pos_sampler, float(eta), float(respace_gamma))
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
         if cache_key not in self._chunk_fns:
@@ -677,7 +680,7 @@ class MolDiff:
 
     def _sample_continuous(
         self, params, node_mask, key, guidance=None, bond_predictor=None,
-        save_traj: bool = False, num_steps=None,
+        save_traj: bool = False, num_steps=None, respace_gamma: float = 1.0,
     ) -> SampleResult:
         """Reverse sampler for the continuous categorical space: node/edge
         one-hot features follow Gaussian posteriors like positions
@@ -689,7 +692,8 @@ class MolDiff:
         pos_tr = self.pos_transition
         node_tr, edge_tr = self.node_transition, self.edge_transition
         if num_steps is not None and num_steps < T:
-            (pos_tr, node_tr, edge_tr), t_map = self._respaced(num_steps)
+            (pos_tr, node_tr, edge_tr), t_map = self._respaced(
+                num_steps, respace_gamma)
             T = num_steps
 
         k_node, k_pos, k_edge, k_scan = jax.random.split(key, 4)

@@ -26,18 +26,37 @@ from __future__ import annotations
 import numpy as np
 
 
-def respace_timesteps(num_timesteps: int, num_steps: int) -> np.ndarray:
-    """Evenly-spaced ascending subset of [0, T-1] with ``num_steps``
-    elements, always including 0 (the final denoising step, where both
-    transitions special-case to means / log_v0) and T-1 (the prior end)."""
+def respace_timesteps(num_timesteps: int, num_steps: int,
+                      gamma: float = 1.0) -> np.ndarray:
+    """Ascending subset of [0, T-1] with ``num_steps`` elements, always
+    including 0 (the final denoising step, where both transitions
+    special-case to means / log_v0) and T-1 (the prior end).
+
+    ``gamma`` warps the spacing: tau_i ~ (i/(S-1))^gamma * (T-1).
+    1.0 = uniform; gamma > 1 concentrates steps near t=0 (late denoising —
+    where MolDiff's 'segment' bond schedule does its work and where the
+    uniform-respacing quality loss shows first, BASELINE.md); gamma < 1
+    concentrates near t=T. Rounding collisions are resolved by bumping to
+    the next free timestep, so the subset is always strictly increasing.
+    """
     T, S = int(num_timesteps), int(num_steps)
     if not 1 <= S <= T:
         raise ValueError(f"num_steps must be in [1, {T}], got {S}")
     if S == 1:
         return np.array([0], dtype=np.int64)
-    subset = np.round(np.linspace(0.0, T - 1, S)).astype(np.int64)
-    if len(np.unique(subset)) != S:  # only possible through rounding ties
-        raise ValueError(f"respacing {T} -> {S} produced duplicate steps")
+    frac = (np.arange(S) / (S - 1)) ** float(gamma)
+    subset = np.round(frac * (T - 1)).astype(np.int64)
+    # enforce strict monotonicity (dense regions of the warp can collide)
+    for i in range(1, S):
+        if subset[i] <= subset[i - 1]:
+            subset[i] = subset[i - 1] + 1
+    if subset[-1] > T - 1:  # bumping overflowed: walk back from the top
+        subset[-1] = T - 1
+        for i in range(S - 2, 0, -1):
+            if subset[i] >= subset[i + 1]:
+                subset[i] = subset[i + 1] - 1
+    if subset[0] != 0 or len(np.unique(subset)) != S or subset[-1] != T - 1:
+        raise ValueError(f"respacing {T} -> {S} (gamma={gamma}) failed")
     return subset
 
 

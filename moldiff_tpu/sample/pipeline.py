@@ -47,6 +47,7 @@ class MolSampler:
         num_steps: Optional[int] = None,
         pos_sampler: str = "ddpm",
         eta: float = 0.0,
+        respace_gamma: float = 1.0,
     ):
         self.model = model
         self.featurizer = featurizer
@@ -78,6 +79,9 @@ class MolSampler:
         # 'ddim' with noise level eta (ops/gaussian.py:ddim_prev)
         self.pos_sampler = pos_sampler
         self.eta = float(eta)
+        # spacing warp for the respaced chain (ops/respace.py: gamma > 1
+        # concentrates steps near t=0, the late-denoising phase)
+        self.respace_gamma = float(respace_gamma)
         if mesh is not None and batch_size % mesh.size != 0:
             raise ValueError(
                 f"batch_size {batch_size} must divide mesh size {mesh.size}"
@@ -127,6 +131,7 @@ class MolSampler:
                         save_traj=save_traj,
                         num_steps=self.num_steps,
                         pos_sampler=self.pos_sampler, eta=self.eta,
+                        respace_gamma=self.respace_gamma,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -152,6 +157,7 @@ class MolSampler:
                         guidance_interval=self.guidance_interval,
                         num_steps=self.num_steps,
                         pos_sampler=self.pos_sampler, eta=self.eta,
+                        respace_gamma=self.respace_gamma,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -174,6 +180,7 @@ class MolSampler:
                     guidance_interval=self.guidance_interval,
                     num_steps=self.num_steps,
                     pos_sampler=self.pos_sampler, eta=self.eta,
+                    respace_gamma=self.respace_gamma,
                 )
                 return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 

@@ -43,7 +43,8 @@ def newest_ckpt(logdir: str, prefix: str) -> str:
 def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                         num_mols=1000, batch_size=128, seed=2023,
                         size_mean=18.0, size_std=5.0, use_ema=False,
-                        num_steps=None, pos_sampler=None, eta=None):
+                        num_steps=None, pos_sampler=None, eta=None,
+                        num_steps_gamma=None):
     import yaml
 
     cfg = {
@@ -56,6 +57,8 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
             **({"num_steps": int(num_steps)} if num_steps else {}),
             **({"pos_sampler": pos_sampler} if pos_sampler else {}),
             **({"eta": float(eta)} if eta is not None else {}),
+            **({"num_steps_gamma": float(num_steps_gamma)}
+               if num_steps_gamma else {}),
         },
     }
     if bp_ckpt:
@@ -86,6 +89,8 @@ def main(argv=None):
                     help="respaced reverse chain on S evenly-spaced steps")
     ap.add_argument("--pos_sampler", choices=["ddpm", "ddim"], default=None)
     ap.add_argument("--eta", type=float, default=None)
+    ap.add_argument("--num_steps_gamma", type=float, default=None,
+                    help="respacing warp: >1 densifies late denoising steps")
     args = ap.parse_args(argv)
 
     from scripts.evaluate_all import main as evaluate_main
@@ -115,6 +120,8 @@ def main(argv=None):
             tag += f"_s{args.num_steps}"
         if args.pos_sampler:
             tag += f"_{args.pos_sampler}"
+        if args.num_steps_gamma:
+            tag += f"_g{args.num_steps_gamma:g}"
         cfg_path = os.path.join(args.outdir, f"sample_{tag}.yml")
         write_sample_config(
             cfg_path, ckpt,
@@ -122,6 +129,7 @@ def main(argv=None):
             num_mols=args.num_mols, batch_size=args.batch_size,
             use_ema=args.use_ema, num_steps=args.num_steps,
             pos_sampler=args.pos_sampler, eta=args.eta,
+            num_steps_gamma=args.num_steps_gamma,
         )
         t0 = time.time()
         out_dir = sample_main([

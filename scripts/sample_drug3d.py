@@ -193,6 +193,7 @@ def main(argv=None):
     # sample.eta; default ddpm = reference-exact ancestral)
     pos_sampler = str(config.sample.get("pos_sampler", "ddpm") or "ddpm")
     eta = float(config.sample.get("eta", 0.0) or 0.0)
+    respace_gamma = float(config.sample.get("num_steps_gamma", 1.0) or 1.0)
     # guided chains run denoiser + bond-predictor grad per step; chunk them
     # so one device execution stays under runtime deadlines
     chunk_steps = None
@@ -208,7 +209,7 @@ def main(argv=None):
         # reference-exact; the guidance grad costs ~5x a denoiser step)
         guidance_interval=int(config.sample.get("guidance_interval", 1)),
         num_steps=num_steps,
-        pos_sampler=pos_sampler, eta=eta,
+        pos_sampler=pos_sampler, eta=eta, respace_gamma=respace_gamma,
         **size_kw,
     )
     key = jax.random.key(config.sample.seed)

@@ -37,6 +37,20 @@ class TestRespaceMath:
         with pytest.raises(ValueError):
             respace_timesteps(1000, 1001)
 
+    @pytest.mark.parametrize("gamma", [0.5, 1.0, 2.0, 3.0])
+    def test_warped_subsets_valid(self, gamma):
+        for T, S in ((1000, 100), (1000, 25), (200, 50), (20, 10)):
+            sub = respace_timesteps(T, S, gamma)
+            assert len(sub) == S
+            assert sub[0] == 0 and sub[-1] == T - 1
+            assert (np.diff(sub) > 0).all(), (T, S, gamma)
+
+    def test_gamma_densifies_late_steps(self):
+        uni = respace_timesteps(1000, 50, 1.0)
+        late = respace_timesteps(1000, 50, 3.0)
+        # more subset mass below t=200 (late denoising) with gamma=3
+        assert (late < 200).sum() > (uni < 200).sum()
+
     def test_identity_subset_recovers_betas(self):
         betas = _betas()
         sub = respace_timesteps(len(betas), len(betas))
