@@ -235,33 +235,46 @@ print("WORKER_OK", pid)
 def test_two_process_sharded_checkpoint(tmp_path):
     """REAL 2-process jax.distributed run: each process writes only its own
     shards (no gather), replicated leaves are written exactly once, and both
-    processes reload their slices from the finished directory."""
+    processes reload their slices from the finished directory.
+
+    The coordinator port is bound-then-released before the workers start,
+    so another process can steal it under load — retry once with a fresh
+    port (same discipline as the infra, not the checkpoint code, failing).
+    """
     import socket
     import subprocess
     import sys as _sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        port = s.getsockname()[1]
-    coord = f"127.0.0.1:{port}"
     worker_py = tmp_path / "worker.py"
     worker_py.write_text(_MP_WORKER)
     env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=repo)
     env.pop("XLA_FLAGS", None)
-    procs = [
-        subprocess.Popen(
-            [_sys.executable, str(worker_py), str(p), "2", coord,
-             str(tmp_path)],
-            cwd=repo, env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        )
-        for p in range(2)
-    ]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
+
+    outs = None
+    for attempt in range(2):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        coord = f"127.0.0.1:{port}"
+        workdir = tmp_path / f"run{attempt}"
+        workdir.mkdir()
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, str(worker_py), str(p), "2", coord,
+                 str(workdir)],
+                cwd=repo, env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            )
+            for p in range(2)
+        ]
+        outs = [p.communicate(timeout=240)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out
         assert "WORKER_OK" in out, out
+    tmp_path = workdir
     # per-shard files: 2 for the data-sharded leaf, 1 for the replicated one
     files = sorted(os.listdir(tmp_path / "ckpt_dir"))
     leaf_b = [f for f in files if f.startswith("leaf0")]  # 'b' sorts first
