@@ -22,6 +22,8 @@ import subprocess
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def newest_checkpoint(logdir: str):
     ckpts = glob.glob(os.path.join(logdir, "*", "checkpoints", "*.ckpt"))
@@ -64,6 +66,9 @@ def main(argv=None):
     ap.add_argument("--stall_secs", type=int, default=600)
     ap.add_argument("--max_restarts", type=int, default=10)
     ap.add_argument("--supervisor_log", default="supervisor.log")
+    ap.add_argument("--resume_latest", action="store_true",
+                    help="inject --resume <newest ckpt> on the FIRST launch "
+                         "too (picking up a run the supervisor didn't start)")
     ap.add_argument("cmd", nargs=argparse.REMAINDER,
                     help="-- then the train command (script + args)")
     args = ap.parse_args(argv)
@@ -81,7 +86,7 @@ def main(argv=None):
     while True:
         full = [sys.executable] + cmd
         ckpt = newest_checkpoint(logdir)
-        if restarts > 0 and ckpt and "--resume" not in full:
+        if (restarts > 0 or args.resume_latest) and ckpt and "--resume" not in full:
             full += ["--resume", ckpt]
             print(f"[supervisor] resuming from {ckpt}", flush=True)
         rc = run_once(full, args.supervisor_log, args.stall_secs)
