@@ -160,15 +160,23 @@ class _LeafReader:
     def full(self) -> np.ndarray:
         with self._lock:
             if self._full is None:
-                shape = self.spec["shape"]
+                shape = tuple(self.spec["shape"])
                 dtype = np.dtype(self.spec["dtype"])
                 prefix = f"leaf{self.i}_o"
                 files = [f for f in os.listdir(self.dir)
                          if f.startswith(prefix) and f.endswith(".npy")]
                 if len(files) == 1:
-                    self._full = np.load(os.path.join(self.dir, files[0]))
+                    arr = np.load(os.path.join(self.dir, files[0]))
+                    if tuple(arr.shape) != shape:
+                        raise ValueError(
+                            f"leaf {self.i}: single shard {arr.shape} does "
+                            f"not cover {shape} — checkpoint written on a "
+                            "filesystem not shared by all processes?"
+                        )
+                    self._full = arr
                 else:
                     out = np.empty(shape, dtype)
+                    covered = np.zeros(shape, bool)
                     for f in files:
                         part = np.load(os.path.join(self.dir, f))
                         offs = [int(o) for o in
@@ -176,6 +184,13 @@ class _LeafReader:
                         sl = tuple(slice(o, o + s)
                                    for o, s in zip(offs, part.shape))
                         out[sl] = part
+                        covered[sl] = True
+                    if not covered.all():
+                        raise ValueError(
+                            f"leaf {self.i}: shards cover only "
+                            f"{covered.mean():.0%} of {shape} — missing "
+                            "files (non-shared filesystem?)"
+                        )
                     self._full = out
             return self._full
 
