@@ -48,6 +48,7 @@ class MolSampler:
         pos_sampler: str = "ddpm",
         eta: float = 0.0,
         respace_gamma: float = 1.0,
+        recon_workers: int = 0,
     ):
         self.model = model
         self.featurizer = featurizer
@@ -82,6 +83,13 @@ class MolSampler:
         # spacing warp for the respaced chain (ops/respace.py: gamma > 1
         # concentrates steps near t=0, the late-denoising phase)
         self.respace_gamma = float(respace_gamma)
+        # host-side reconstruction workers: 0/1 = serial. The device chain
+        # is ~1.25 ms/mol of host sanitize work away from the pool; at
+        # respaced (~127 mols/s/chip) or multi-chip throughput the serial
+        # classify loop becomes the e2e bottleneck, so generate() fans
+        # classify_decoded over a spawn Pool (reference parallelizes its
+        # host-side chemistry the same way, utils/evaluation.py:142)
+        self.recon_workers = int(recon_workers)
         if mesh is not None and batch_size % mesh.size != 0:
             raise ValueError(
                 f"batch_size {batch_size} must divide mesh size {mesh.size}"
@@ -307,6 +315,21 @@ class MolSampler:
         batch_graphs = batch_graphs or self.batch_size
         pool = {"finished": [], "failed": []}
         save_traj = traj_prob > 0.0
+        workers = _make_classify_pool(self.recon_workers)
+        try:
+            return self._generate_loop(
+                params, num_mols, key, rng, max_failures_factor,
+                batch_graphs, logger, traj_prob, save_traj, pool, workers,
+            )
+        finally:
+            if workers is not None:
+                workers.terminate()
+                workers.join()
+
+    def _generate_loop(
+        self, params, num_mols, key, rng, max_failures_factor,
+        batch_graphs, logger, traj_prob, save_traj, pool, workers,
+    ):
         while len(pool["finished"]) < num_mols:
             if len(pool["failed"]) > max_failures_factor * num_mols:
                 if logger:
@@ -321,11 +344,9 @@ class MolSampler:
             else:
                 decoded_list = self.sample_sizes(params, sizes, k)
                 traj_refs = [None] * len(decoded_list)
-            entries = []
+            entries = _classify_batch(decoded_list, self.add_edge, workers)
             want_traj: List[Tuple[dict, "_TrajRef"]] = []
-            for decoded, ref in zip(decoded_list, traj_refs):
-                entry = classify_decoded(decoded, add_edge=self.add_edge)
-                entries.append(entry)
+            for entry, ref in zip(entries, traj_refs):
                 if (
                     entry["pool"] == "finished"
                     and save_traj
@@ -399,6 +420,45 @@ class _TrajRef:
 
     def fetch(self) -> dict:
         return self.batch.fetch(self.local_i)
+
+
+def _classify_pool_init():
+    # spawn workers re-run sitecustomize (which pre-imports jax); pin them
+    # to CPU before anything touches a backend so they never contend for
+    # the TPU chip the parent holds (see NOTES_r2.md "CLI platform hang")
+    import os
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from ..utils.misc import force_platform_from_env
+
+    force_platform_from_env()
+
+
+def _classify_job(args):
+    decoded, add_edge = args
+    return classify_decoded(decoded, add_edge=add_edge)
+
+
+def _make_classify_pool(workers: int):
+    """Spawn-context Pool for host-side reconstruction, or None for serial.
+
+    'spawn' (not fork): the parent holds a live TPU client whose threads and
+    locks must not be inherited mid-state."""
+    if workers is None or workers <= 1:
+        return None
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    return ctx.Pool(int(workers), initializer=_classify_pool_init)
+
+
+def _classify_batch(decoded_list, add_edge, workers=None) -> list:
+    """classify_decoded over a batch; parallel when a Pool is given."""
+    if workers is None:
+        return [classify_decoded(d, add_edge=add_edge) for d in decoded_list]
+    return workers.map(
+        _classify_job, [(d, add_edge) for d in decoded_list], chunksize=16
+    )
 
 
 def classify_decoded(decoded: dict, add_edge: Optional[str] = None) -> dict:

@@ -74,6 +74,9 @@ def main(argv=None):
     ap.add_argument("--add_edge", choices=["distance"], default=None,
                     help="re-perceive bonds from distances instead of the "
                          "predicted bond types (reference 'edm' path)")
+    ap.add_argument("--recon_workers", type=int, default=None,
+                    help="parallel host-side reconstruction workers "
+                         "(0/1 = serial; default from sample.recon_workers)")
     ap.add_argument("--run_name", default=None,
                     help="fixed run dir name (required to line up shard dirs "
                          "in multi-host runs; default: config tag + timestamp)")
@@ -210,6 +213,12 @@ def main(argv=None):
         guidance_interval=int(config.sample.get("guidance_interval", 1)),
         num_steps=num_steps,
         pos_sampler=pos_sampler, eta=eta, respace_gamma=respace_gamma,
+        # framework extension: parallel host-side reconstruction (the
+        # sanitize cascade is ~1.25 ms/mol; serial it bottlenecks respaced
+        # or multi-chip chains)
+        recon_workers=args.recon_workers
+        if args.recon_workers is not None
+        else int(config.sample.get("recon_workers", 0) or 0),
         **size_kw,
     )
     key = jax.random.key(config.sample.seed)

@@ -421,3 +421,160 @@ def test_bond_predictor_forward_parity(ref_bondpred):
     np.testing.assert_allclose(
         np.concatenate(ours_half), pred_ref.numpy(), rtol=2e-4, atol=2e-5
     )
+
+
+def _moldiff_cfg(space: str):
+    from moldiff_tpu.utils.config import Config
+
+    d = {
+        "name": "diffusion", "node_dim": 16, "edge_dim": 8,
+        "bond_len_loss": True,
+        "denoiser": {"backbone": "NodeEdgeNet", "num_blocks": 2,
+                     "cutoff": 10, "use_gate": True},
+        "diff": {
+            "num_timesteps": 20, "time_dim": 4,
+            "categorical_space": space,
+            "diff_pos": {"beta_schedule": "advance", "scale_start": 0.9999,
+                         "scale_end": 0.0001, "width": 3},
+            "diff_atom": {"init_prob": "tomask", "beta_schedule": "advance",
+                          "scale_start": 0.9999, "scale_end": 0.0001,
+                          "width": 3},
+            "diff_bond": {"init_prob": "absorb", "beta_schedule": "advance",
+                          "scale_start": 0.9999, "scale_end": 0.0001,
+                          "width": 3},
+        },
+    }
+    if space == "continuous":
+        d["diff"]["scaling"] = [1.0, 4.0, 8.0]
+    return Config(d)
+
+
+@pytest.mark.parametrize("space", ["discrete", "continuous"])
+def test_get_loss_parity(ref_model, monkeypatch, space):
+    """GOLDEN get_loss parity vs the reference torch MolDiff.get_loss
+    (model.py:128-201): identical converted weights AND identical injected
+    perturbations (both sides' sample_time/add_noise are monkeypatched to
+    the same precomputed draws), so every loss component — masked-mean pos
+    MSE, bond-length MSE, 100x categorical KLs (discrete) / 30x scaled-
+    one-hot MSEs (continuous) — must match the ragged torch computation.
+    Includes a t=0 graph to exercise the decoder-NLL branch of
+    compute_v_Lt (transition.py:317-329)."""
+    import moldiff_tpu.models.moldiff as moldiff_mod
+    from moldiff_tpu.models.moldiff import MolDiff
+
+    kn, ke = 8, 6
+    cfg = _moldiff_cfg(space)
+    torch.manual_seed(3)
+    ref = ref_model.MolDiff(cfg, kn, ke).eval()
+    params = convert_moldiff_state_dict(
+        {k: v for k, v in ref.state_dict().items()}, cfg
+    )
+    ours = MolDiff(cfg, kn, ke)
+
+    rng = np.random.default_rng(23)
+    b, n = len(SIZES), NPAD
+    e = graph_ops.num_halfedges(n)
+    node_type = rng.integers(0, kn, (b, n))
+    pos_d = (rng.normal(size=(b, n, 3)) * 1.5).astype(np.float32)
+    he_type = rng.integers(0, ke, (b, e))
+    mask = np.zeros((b, n), np.float32)
+    for i, s in enumerate(SIZES):
+        mask[i, :s] = 1.0
+        pos_d[i, s:] = 0.0
+    t_steps = np.array([0, 17, 9], np.int64)  # t=0 hits the NLL branch
+    t_j = jnp.asarray(t_steps.astype(np.int32))
+
+    # ---- precompute ONE set of perturbations (our transitions, fixed key)
+    key = jax.random.key(5)
+    k_pos, k_node, k_edge = jax.random.split(key, 3)
+    pos_pert = ours.pos_transition.add_noise(jnp.asarray(pos_d), t_j, k_pos)[0]
+    node_pert = ours.node_transition.add_noise(
+        jnp.asarray(node_type), t_j, k_node
+    )
+    edge_pert = ours.edge_transition.add_noise(
+        jnp.asarray(he_type), t_j, k_edge
+    )
+
+    # ---- inject into OUR get_loss
+    monkeypatch.setattr(
+        moldiff_mod, "sample_time_antithetic", lambda k, nb, T: t_j
+    )
+    monkeypatch.setattr(
+        ours.pos_transition, "add_noise", lambda x, t, key: (pos_pert, None)
+    )
+    monkeypatch.setattr(
+        ours.node_transition, "add_noise", lambda v, t, key: node_pert
+    )
+    monkeypatch.setattr(
+        ours.edge_transition, "add_noise", lambda v, t, key: edge_pert
+    )
+
+    # ---- ragged mirrors for the reference
+    hid_map = graph_ops.halfedge_id_map(n)
+    pos_r, nt_r, het_r, bn, bh, hei = [], [], [], [], [], []
+    pp_r = []
+    node_tuple_r = [[] for _ in node_pert]
+    edge_tuple_r = [[] for _ in edge_pert]
+    off = 0
+    for i, s in enumerate(SIZES):
+        pos_r.append(pos_d[i, :s])
+        pp_r.append(np.asarray(pos_pert[i, :s]))
+        nt_r.append(node_type[i, :s])
+        bn += [i] * s
+        for k_, arr in enumerate(node_pert):
+            node_tuple_r[k_].append(np.asarray(arr[i, :s]))
+        iu, ju = np.triu_indices(s, k=1)
+        hid = hid_map[iu, ju]
+        het_r.append(he_type[i, hid])
+        for k_, arr in enumerate(edge_pert):
+            edge_tuple_r[k_].append(np.asarray(arr[i, hid]))
+        bh += [i] * len(iu)
+        hei.append(np.stack([iu, ju], 0) + off)
+        off += s
+
+    tt = lambda lst: torch.from_numpy(np.concatenate(lst))
+    t_t = torch.from_numpy(t_steps)
+    monkeypatch.setattr(
+        ref, "sample_time",
+        lambda nb, device, **kw: (t_t, torch.ones(nb) / 20.0),
+    )
+    pos_pert_t = tt(pp_r)
+    monkeypatch.setattr(
+        ref.pos_transition, "add_noise", lambda x, ts, batch: pos_pert_t
+    )
+    node_pert_t = tuple(tt(x) for x in node_tuple_r)
+    edge_pert_t = tuple(tt(x) for x in edge_tuple_r)
+    monkeypatch.setattr(
+        ref.node_transition, "add_noise", lambda v, ts, batch: node_pert_t
+    )
+    monkeypatch.setattr(
+        ref.edge_transition, "add_noise", lambda v, ts, batch: edge_pert_t
+    )
+
+    with torch.no_grad():
+        ref_losses = ref.get_loss(
+            tt([np.eye(kn, dtype=np.float32)[x] for x in nt_r]),
+            tt(pos_r),
+            torch.from_numpy(np.array(bn, np.int64)),
+            torch.from_numpy(np.concatenate(het_r).astype(np.int64)),
+            torch.from_numpy(
+                np.concatenate(hei, axis=1).astype(np.int64)
+            ),
+            torch.from_numpy(np.array(bh, np.int64)),
+            num_mol=b,
+        )
+
+    _, losses = ours.get_loss(
+        params,
+        jnp.asarray(node_type.astype(np.int32)),
+        jnp.asarray(pos_d),
+        jnp.asarray(he_type.astype(np.int32)),
+        jnp.asarray(mask),
+        jax.random.key(0),  # unused: all draws injected above
+    )
+
+    for name in ("loss", "loss_pos", "loss_node", "loss_edge", "loss_len"):
+        np.testing.assert_allclose(
+            np.asarray(losses[name]), ref_losses[name].item(),
+            rtol=3e-4, atol=3e-5, err_msg=name,
+        )

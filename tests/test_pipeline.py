@@ -296,3 +296,46 @@ class TestSamplerTraj:
         for ds, dc in zip(dec_s, dec_c):
             np.testing.assert_allclose(
                 ds["atom_pos"], dc["atom_pos"], rtol=1e-5, atol=1e-6)
+
+
+class TestParallelClassify:
+    def _decoded_batch(self, n=40):
+        from moldiff_tpu.data.synthetic import random_molecule
+
+        rng = np.random.default_rng(3)
+        out = []
+        for _ in range(n):
+            m = random_molecule(rng)
+            bi = (np.array([[b.i, b.j] for b in m.bonds]).T
+                  if m.bonds else np.zeros((2, 0), int))
+            out.append({
+                "element": np.array([a.z for a in m.atoms]),
+                "atom_pos": np.array([a.pos for a in m.atoms]),
+                "bond_index": bi,
+                "bond_type": np.array([b.order for b in m.bonds], int),
+            })
+        return out
+
+    @pytest.mark.slow
+    def test_pool_matches_serial(self):
+        """recon_workers pool must produce entry-for-entry identical pools
+        (the sanitize cascade is deterministic)."""
+        from moldiff_tpu.sample import pipeline as pl
+
+        decoded = self._decoded_batch()
+        serial = pl._classify_batch(decoded, None, None)
+        workers = pl._make_classify_pool(2)
+        try:
+            par = pl._classify_batch(decoded, None, workers)
+        finally:
+            workers.terminate()
+            workers.join()
+        assert [e["pool"] for e in serial] == [e["pool"] for e in par]
+        assert [e.get("smiles") for e in serial] == [e.get("smiles") for e in par]
+
+    def test_workers_leq_one_is_serial(self):
+        from moldiff_tpu.sample import pipeline as pl
+
+        assert pl._make_classify_pool(0) is None
+        assert pl._make_classify_pool(1) is None
+        assert pl._make_classify_pool(None) is None
