@@ -44,7 +44,7 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                         num_mols=1000, batch_size=128, seed=2023,
                         size_mean=18.0, size_std=5.0, use_ema=False,
                         num_steps=None, pos_sampler=None, eta=None,
-                        num_steps_gamma=None):
+                        num_steps_gamma=None, recon_workers=None):
     import yaml
 
     cfg = {
@@ -59,6 +59,8 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
             **({"eta": float(eta)} if eta is not None else {}),
             **({"num_steps_gamma": float(num_steps_gamma)}
                if num_steps_gamma else {}),
+            **({"recon_workers": int(recon_workers)}
+               if recon_workers else {}),
         },
     }
     if bp_ckpt:
@@ -91,6 +93,8 @@ def main(argv=None):
     ap.add_argument("--eta", type=float, default=None)
     ap.add_argument("--num_steps_gamma", type=float, default=None,
                     help="respacing warp: >1 densifies late denoising steps")
+    ap.add_argument("--recon_workers", type=int, default=None,
+                    help="parallel host-side reconstruction workers")
     args = ap.parse_args(argv)
 
     from scripts.evaluate_all import main as evaluate_main
@@ -130,6 +134,7 @@ def main(argv=None):
             use_ema=args.use_ema, num_steps=args.num_steps,
             pos_sampler=args.pos_sampler, eta=args.eta,
             num_steps_gamma=args.num_steps_gamma,
+            recon_workers=args.recon_workers,
         )
         t0 = time.time()
         out_dir = sample_main([

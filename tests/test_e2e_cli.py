@@ -108,7 +108,9 @@ class TestEndToEnd:
 
         out_dir = sample_drug3d.main(
             ["--config", scfg_path, "--outdir", str(tmp_path / "out"),
-             "--batch_size", "8"]
+             "--batch_size", "8",
+             # exercise the parallel host-reconstruction wiring end-to-end
+             "--recon_workers", "2"]
         )
         assert os.path.exists(os.path.join(out_dir, "samples_all.pkl"))
         with open(os.path.join(out_dir, "samples_all.pkl"), "rb") as f:
