@@ -230,3 +230,132 @@ def _to_plain(d):
     if isinstance(d, (list, tuple)):
         return type(d)(_to_plain(x) for x in d)
     return d
+
+
+# ---------------------------------------------------------------------------
+# reverse direction: our param tree -> reference torch state_dict
+# ---------------------------------------------------------------------------
+
+def _np(x) -> np.ndarray:
+    return np.ascontiguousarray(np.asarray(x, dtype=np.float32))
+
+
+def linear_to_torch(p: dict, prefix: str, out: Dict) -> None:
+    out[f"{prefix}.weight"] = _np(p["w"]).T
+    if "b" in p:
+        out[f"{prefix}.bias"] = _np(p["b"])
+
+
+def layernorm_to_torch(p: dict, prefix: str, out: Dict) -> None:
+    out[f"{prefix}.weight"] = _np(p["scale"])
+    out[f"{prefix}.bias"] = _np(p["bias"])
+
+
+def mlp_to_torch(p: dict, prefix: str, out: Dict) -> None:
+    """Inverse of :func:`mlp_from_torch` (Sequential indices 3k / 3k+1)."""
+    layers = p["layers"]
+    for k, lp in enumerate(layers):
+        idx = 3 * k
+        linear_to_torch(lp["lin"], f"{prefix}.net.{idx}", out)
+        if "ln" in lp:
+            layernorm_to_torch(lp["ln"], f"{prefix}.net.{idx + 1}", out)
+
+
+def bond_ffn_to_torch(p: dict, prefix: str, out: Dict) -> None:
+    linear_to_torch(p["bond_linear"], f"{prefix}.bond_linear", out)
+    linear_to_torch(p["node_linear"], f"{prefix}.node_linear", out)
+    mlp_to_torch(p["inter"], f"{prefix}.inter_module", out)
+    if "gate" in p:
+        mlp_to_torch(p["gate"], f"{prefix}.gate", out)
+
+
+def node_block_to_torch(p: dict, prefix: str, out: Dict) -> None:
+    mlp_to_torch(p["node_net"], f"{prefix}.node_net", out)
+    mlp_to_torch(p["edge_net"], f"{prefix}.edge_net", out)
+    linear_to_torch(p["msg_net"], f"{prefix}.msg_net", out)
+    linear_to_torch(p["centroid_lin"], f"{prefix}.centroid_lin", out)
+    layernorm_to_torch(p["ln"], f"{prefix}.layer_norm", out)
+    linear_to_torch(p["out"], f"{prefix}.out_transform", out)
+    if "gate" in p:
+        mlp_to_torch(p["gate"], f"{prefix}.gate", out)
+
+
+def edge_block_to_torch(p: dict, prefix: str, out: Dict) -> None:
+    bond_ffn_to_torch(p["bond_ffn_left"], f"{prefix}.bond_ffn_left", out)
+    bond_ffn_to_torch(p["bond_ffn_right"], f"{prefix}.bond_ffn_right", out)
+    linear_to_torch(p["node_ffn_left"], f"{prefix}.node_ffn_left", out)
+    linear_to_torch(p["node_ffn_right"], f"{prefix}.node_ffn_right", out)
+    linear_to_torch(p["self_ffn"], f"{prefix}.self_ffn", out)
+    layernorm_to_torch(p["ln"], f"{prefix}.layer_norm", out)
+    linear_to_torch(p["out"], f"{prefix}.out_transform", out)
+
+
+def pos_update_to_torch(p: dict, prefix: str, out: Dict) -> None:
+    mlp_to_torch(p["left_lin_edge"], f"{prefix}.left_lin_edge", out)
+    mlp_to_torch(p["right_lin_edge"], f"{prefix}.right_lin_edge", out)
+    bond_ffn_to_torch(p["edge_lin"], f"{prefix}.edge_lin", out)
+
+
+def denoiser_to_torch(params: dict, prefix: str, out: Dict) -> None:
+    """Unstack the lax.scan block axis back into the reference's per-block
+    module lists (node_blocks_with_edge / edge_embs / edge_blocks /
+    pos_blocks)."""
+    stacked = params["blocks"]
+    num_blocks = int(
+        next(iter(_tree_leaves(stacked))).shape[0]
+    )
+    for i in range(num_blocks):
+        blk = _tree_index(stacked, i)
+        node_block_to_torch(
+            blk["node_block"], f"{prefix}.node_blocks_with_edge.{i}", out
+        )
+        linear_to_torch(blk["edge_emb"], f"{prefix}.edge_embs.{i}", out)
+        if "edge_block" in blk:
+            edge_block_to_torch(
+                blk["edge_block"], f"{prefix}.edge_blocks.{i}", out
+            )
+        if "pos_block" in blk:
+            pos_update_to_torch(
+                blk["pos_block"], f"{prefix}.pos_blocks.{i}", out
+            )
+
+
+def _tree_leaves(tree):
+    import jax
+
+    return jax.tree.leaves(tree)
+
+
+def _tree_index(tree, i: int):
+    import jax
+
+    return jax.tree.map(lambda x: x[i], tree)
+
+
+def export_moldiff_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """Our MolDiff param tree -> reference torch state_dict arrays.
+
+    Inverse of :func:`convert_moldiff_state_dict`: a reference
+    `models/model.py` MolDiff built from the same config accepts the result
+    via `load_state_dict(..., strict=False)` (strict=False only because
+    schedule/time-embed BUFFERS are rebuilt from the config, not carried in
+    the export — every trainable parameter is emitted). Values are numpy;
+    wrap with `torch.from_numpy` to save a reference-format checkpoint."""
+    out: Dict[str, np.ndarray] = {}
+    linear_to_torch(params["node_embedder"], "node_embedder", out)
+    linear_to_torch(params["edge_embedder"], "edge_embedder", out)
+    denoiser_to_torch(params["denoiser"], "denoiser", out)
+    mlp_to_torch(params["node_decoder"], "node_decoder", out)
+    mlp_to_torch(params["edge_decoder"], "edge_decoder", out)
+    return out
+
+
+def export_bond_predictor_state_dict(params: dict) -> Dict[str, np.ndarray]:
+    """Our BondPredictor param tree -> reference torch state_dict arrays
+    (inverse of :func:`convert_bond_predictor_state_dict`)."""
+    out: Dict[str, np.ndarray] = {}
+    linear_to_torch(params["node_embedder"], "node_embedder", out)
+    linear_to_torch(params["edge_embedder"], "edge_embedder", out)
+    denoiser_to_torch(params["encoder"], "encoder", out)
+    mlp_to_torch(params["edge_decoder"], "edge_decoder", out)
+    return out

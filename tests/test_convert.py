@@ -227,3 +227,76 @@ class TestConvertCLI:
             env={**os.environ, "JAX_PLATFORMS": "cpu"},
         )
         assert r2.returncode == 0, r2.stderr[-800:]
+
+
+class TestReverseExport:
+    def test_export_roundtrip_via_cli(self, tmp_path):
+        """OURS -> reference torch .pt (--reverse) -> re-import through the
+        forward converter == the original param tree exactly. Closes the
+        interop loop: a model trained HERE is usable by the reference
+        codebase (scripts/sample_drug3d.py:49-50 checkpoint format)."""
+        import os
+        import pickle
+        import subprocess
+        import sys
+
+        import jax
+
+        from moldiff_tpu.models.moldiff import MolDiff
+        from moldiff_tpu.utils.config import Config
+
+        cfg = {
+            "model": {
+                "name": "diffusion", "node_dim": 16, "edge_dim": 8,
+                "denoiser": {"backbone": "NodeEdgeNet", "num_blocks": 2,
+                             "cutoff": 10, "use_gate": True},
+                "diff": {
+                    "num_timesteps": 6, "time_dim": 4,
+                    "categorical_space": "discrete",
+                    "diff_pos": {"beta_schedule": "advance",
+                                 "scale_start": 0.9999, "scale_end": 0.0001,
+                                 "width": 3},
+                    "diff_atom": {"init_prob": "tomask",
+                                  "beta_schedule": "advance",
+                                  "scale_start": 0.9999,
+                                  "scale_end": 0.0001, "width": 3},
+                    "diff_bond": {"init_prob": "absorb",
+                                  "beta_schedule": "advance",
+                                  "scale_start": 0.9999,
+                                  "scale_end": 0.0001, "width": 3},
+                },
+            },
+        }
+        model = MolDiff(Config(cfg["model"]), 8, 6)
+        params = model.init_params(jax.random.key(3))
+        blob = {
+            "config": cfg,
+            "params": jax.tree.map(np.asarray, params),
+            "opt_state": None, "step": 42, "scheduler": None, "key": None,
+            "extra": {},
+        }
+        ours = str(tmp_path / "ours.ckpt")
+        with open(ours, "wb") as f:
+            pickle.dump(blob, f)
+
+        pt = str(tmp_path / "export.pt")
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        r = subprocess.run(
+            [sys.executable, os.path.join(repo, "scripts",
+                                          "convert_reference_ckpt.py"),
+             "--reverse", "--input", ours, "--output", pt],
+            capture_output=True, text=True, cwd=repo,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-800:]
+
+        ckpt = torch.load(pt, map_location="cpu", weights_only=False)
+        assert ckpt["iteration"] == 42
+        assert ckpt["config"]["model"]["node_dim"] == 16
+        sd = {k: v.numpy() for k, v in ckpt["model"].items()}
+        reimported = convert_moldiff_state_dict(sd, Config(cfg["model"]))
+        orig_flat, orig_def = jax.tree.flatten(params)
+        re_flat, re_def = jax.tree.flatten(reimported)
+        assert orig_def == re_def
+        for a, b in zip(orig_flat, re_flat):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -578,3 +578,81 @@ def test_get_loss_parity(ref_model, monkeypatch, space):
             np.asarray(losses[name]), ref_losses[name].item(),
             rtol=3e-4, atol=3e-5, err_msg=name,
         )
+
+
+def test_export_roundtrip_moldiff(ref_model):
+    """Reverse converter: torch -> jax -> torch round-trips EVERY trainable
+    parameter bit-exactly, and the exported key set equals the reference
+    model's named_parameters (so nothing trainable is silently dropped).
+    Inverse of convert_moldiff_state_dict (utils/convert.py)."""
+    from moldiff_tpu.utils.convert import export_moldiff_state_dict
+
+    cfg = _moldiff_cfg("discrete")
+    torch.manual_seed(4)
+    ref = ref_model.MolDiff(cfg, 8, 6).eval()
+    sd = {k: v for k, v in ref.state_dict().items()}
+    params = convert_moldiff_state_dict(sd, cfg)
+    exported = export_moldiff_state_dict(params)
+
+    # schedule constants live as requires_grad=False Parameters on the
+    # transition modules (to_torch_const, diffusion.py:41) and are rebuilt
+    # from the config — everything else must round-trip
+    _derived = ("pos_transition.", "node_transition.", "edge_transition.")
+    want_keys = {k for k, _ in ref.named_parameters()
+                 if not k.startswith(_derived)}
+    assert set(exported) == want_keys
+    for k in sorted(want_keys):
+        np.testing.assert_array_equal(
+            exported[k], sd[k].numpy(), err_msg=k
+        )
+    # a fresh differently-initialized reference model accepts the export
+    torch.manual_seed(99)
+    ref2 = ref_model.MolDiff(cfg, 8, 6).eval()
+    missing, unexpected = ref2.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in exported.items()}, strict=False
+    )
+    assert not unexpected
+    # missing = derived constants only: transition schedules, Gaussian
+    # smearing offsets (time_emb.*, denoiser.distance_expansion.*)
+    assert all(
+        m.startswith(_derived) or "time_emb" in m
+        or "distance_expansion" in m
+        for m in missing
+    )
+    for k in want_keys:
+        assert torch.equal(dict(ref2.named_parameters())[k],
+                           dict(ref.named_parameters())[k]), k
+
+
+def test_export_roundtrip_bond_predictor(ref_bondpred):
+    from moldiff_tpu.utils.convert import (
+        convert_bond_predictor_state_dict,
+        export_bond_predictor_state_dict,
+    )
+    from moldiff_tpu.utils.config import Config
+
+    cfg = Config({
+        "name": "bond_predictor", "node_dim": 16, "edge_dim": 8,
+        "encoder": {"backbone": "NodeEdgeNet", "num_blocks": 2, "cutoff": 10,
+                    "use_gate": True, "update_pos": False},
+        "diff": {
+            "num_timesteps": 20, "time_dim": 4,
+            "categorical_space": "discrete",
+            "diff_pos": {"beta_schedule": "advance", "scale_start": 0.9999,
+                         "scale_end": 0.0001, "width": 3},
+            "diff_atom": {"init_prob": "tomask", "beta_schedule": "advance",
+                          "scale_start": 0.9999, "scale_end": 0.0001,
+                          "width": 3},
+        },
+    })
+    torch.manual_seed(5)
+    ref = ref_bondpred.BondPredictor(cfg, 8, 5).eval()
+    sd = {k: v for k, v in ref.state_dict().items()}
+    params = convert_bond_predictor_state_dict(sd, cfg)
+    exported = export_bond_predictor_state_dict(params)
+    _derived = ("pos_transition.", "node_transition.", "edge_transition.")
+    want_keys = {k for k, _ in ref.named_parameters()
+                 if not k.startswith(_derived)}
+    assert set(exported) == want_keys
+    for k in sorted(want_keys):
+        np.testing.assert_array_equal(exported[k], sd[k].numpy(), err_msg=k)
