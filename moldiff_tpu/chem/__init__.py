@@ -8,4 +8,4 @@ from .sanitize import (
     reconstruct_from_generated,
     sanitize,
 )
-from .smiles import canonical_ranks, mol_to_smiles
+from .smiles import SmilesError, canonical_ranks, mol_from_smiles, mol_to_smiles

@@ -16,7 +16,7 @@ from __future__ import annotations
 from typing import Dict, List, Set, Tuple
 
 from .mol import AROMATIC, Mol
-from .periodic import ORGANIC_SUBSET
+from .periodic import ORGANIC_SUBSET, SYMBOL_TO_Z
 from .sanitize import perceive_aromaticity
 
 BOND_SYMBOL = {1: "", 2: "=", 3: "#"}
@@ -193,3 +193,233 @@ def _write_component(mol: Mol, root: int, ranks: List[int]) -> str:
 
 def _digit_token(d: int) -> str:
     return str(d) if d < 10 else f"%{d:02d}"
+
+
+# ---------------------------------------------------------------------------
+# SMILES parsing (reader)
+# ---------------------------------------------------------------------------
+
+_ORGANIC_TWO = ("Cl", "Br")
+_ORGANIC_ONE = ("B", "C", "N", "O", "P", "S", "F", "I")
+_AROMATIC_ORGANIC = ("b", "c", "n", "o", "p", "s")
+_BOND_CHARS = {"-": 1, "=": 2, "#": 3, ":": AROMATIC, "/": 1, "\\": 1}
+_DEFAULT = -1  # provisional order for "no bond symbol written"
+
+
+class SmilesError(ValueError):
+    """Raised on malformed or unsupported SMILES input."""
+
+
+def mol_from_smiles(s: str, sanitize_mol: bool = True) -> Mol:
+    """Parse a SMILES string into a :class:`Mol` (first-party MolFromSmiles).
+
+    Supported: the organic subset + aromatic lowercase atoms, bracket atoms
+    ``[<isotope>? <symbol> @|@@? H<n>? +/-<n>? :map?]`` (isotope, chirality
+    and atom maps are accepted and ignored), bonds ``- = # : / \\`` (the
+    directional bonds parse as single — 3D comes from conformers here, not
+    cis/trans flags), branches, ring closures ``1``-``9`` and ``%nn``, and
+    ``.``-separated components. Bracket hydrogen counts become explicit H
+    overrides; organic-subset atoms fill implicit Hs by default valence
+    exactly like molecules built through :meth:`Mol.add_atom`.
+
+    A bond written WITHOUT a symbol between two aromatic atoms resolves to
+    AROMATIC when it closes inside a ring and to single otherwise (so
+    ``c1ccccc1c1ccccc1`` is biphenyl), matching the common toolkit reading.
+
+    ``sanitize_mol=True`` runs the full sanitize cascade (valence check +
+    aromatic-ring check + kekulizability) and raises ``MolError`` on
+    chemistry the framework rejects; pass False to inspect raw parses.
+    """
+    from .mol import MolError  # local: avoid cycle at import time
+    from .sanitize import sanitize
+
+    mol = Mol()
+    prev: List[int] = []        # branch stack; top = current attach atom
+    cur = -1                    # current atom (-1 = none yet / after '.')
+    pending: int | None = None  # explicit bond symbol awaiting its atom
+    ring_open: Dict[int, Tuple[int, int | None]] = {}
+    default_bonds: List[int] = []
+    i, n = 0, len(s)
+
+    def add_bond(a: int, b: int, order: int | None) -> None:
+        o = _DEFAULT if order is None else order
+        idx = mol.add_bond(a, b, 1 if o == _DEFAULT else o)
+        if o == _DEFAULT:
+            default_bonds.append(idx)
+
+    def attach(idx: int) -> None:
+        nonlocal cur, pending
+        if cur >= 0:
+            add_bond(cur, idx, pending)
+        elif pending is not None:
+            raise SmilesError(f"bond with no preceding atom at {i}")
+        pending = None
+        cur = idx
+
+    while i < n:
+        ch = s[i]
+        if ch.isspace():
+            break  # SMILES line may carry a trailing name/comment
+        if ch == "(":
+            if cur < 0:
+                raise SmilesError("branch before any atom")
+            prev.append(cur)
+            i += 1
+        elif ch == ")":
+            if not prev:
+                raise SmilesError("unmatched ')'")
+            cur = prev.pop()
+            i += 1
+        elif ch in _BOND_CHARS:
+            if pending is not None:
+                raise SmilesError(f"two bond symbols in a row at {i}")
+            pending = _BOND_CHARS[ch]
+            i += 1
+        elif ch == ".":
+            if pending is not None:
+                raise SmilesError("bond before '.'")
+            cur = -1
+            i += 1
+        elif ch.isdigit() or ch == "%":
+            if cur < 0:
+                raise SmilesError("ring closure before any atom")
+            if ch == "%":
+                if i + 2 >= n or not s[i + 1:i + 3].isdigit():
+                    raise SmilesError(f"bad %nn ring closure at {i}")
+                num = int(s[i + 1:i + 3])
+                i += 3
+            else:
+                num = int(ch)
+                i += 1
+            if num in ring_open:
+                a, o_open = ring_open.pop(num)
+                if o_open is not None and pending is not None \
+                        and o_open != pending:
+                    raise SmilesError(f"ring {num} bond order mismatch")
+                order = o_open if o_open is not None else pending
+                if a == cur:
+                    raise SmilesError(f"ring {num} closes on itself")
+                add_bond(a, cur, order)
+                pending = None
+            else:
+                ring_open[num] = (cur, pending)
+                pending = None
+        elif ch == "[":
+            j = s.find("]", i)
+            if j < 0:
+                raise SmilesError("unterminated bracket atom")
+            idx = _parse_bracket(mol, s[i + 1:j])
+            attach(idx)
+            i = j + 1
+        else:
+            two = s[i:i + 2]
+            if two in _ORGANIC_TWO:
+                idx = mol.add_atom(SYMBOL_TO_Z[two])
+                attach(idx)
+                i += 2
+            elif ch in _ORGANIC_ONE:
+                idx = mol.add_atom(SYMBOL_TO_Z[ch])
+                attach(idx)
+                i += 1
+            elif ch in _AROMATIC_ORGANIC:
+                idx = mol.add_atom(SYMBOL_TO_Z[ch.upper()])
+                mol.atoms[idx].aromatic = True
+                attach(idx)
+                i += 1
+            else:
+                raise SmilesError(f"unexpected character {ch!r} at {i}")
+
+    if ring_open:
+        raise SmilesError(f"unclosed ring closures: {sorted(ring_open)}")
+    if prev:
+        raise SmilesError("unclosed branch '('")
+    if pending is not None:
+        raise SmilesError("dangling bond symbol at end of input")
+    if mol.num_atoms == 0:
+        raise SmilesError("empty SMILES")
+
+    # resolve default bonds: aromatic only when both ends are aromatic AND
+    # the bond sits in a ring (biphenyl's inter-ring default bond -> single)
+    ring_bonds = mol.ring_bond_ids()
+    for bidx in default_bonds:
+        b = mol.bonds[bidx]
+        if (bidx in ring_bonds and mol.atoms[b.i].aromatic
+                and mol.atoms[b.j].aromatic):
+            b.order = AROMATIC
+
+    if sanitize_mol:
+        sanitize(mol)
+    return mol
+
+
+def _parse_bracket(mol: Mol, body: str) -> int:
+    """Parse one bracket-atom body (between '[' and ']'); returns atom idx."""
+    k, m = 0, len(body)
+    while k < m and body[k].isdigit():  # isotope — accepted, ignored
+        k += 1
+    aromatic = False
+    if k < m and body[k:k + 2] in ("Cl", "Br", "Se", "Si", "As"):
+        sym = body[k:k + 2]
+        k += 2
+    elif k < m and body[k].isupper():
+        # one-letter element, optionally followed by a lowercase that forms
+        # a known two-letter symbol (Na, Zn, ...)
+        if k + 1 < m and body[k:k + 2] in SYMBOL_TO_Z:
+            sym = body[k:k + 2]
+            k += 2
+        else:
+            sym = body[k]
+            k += 1
+    elif k < m and body[k] in "bcnops":
+        sym = body[k].upper()
+        aromatic = True
+        k += 1
+    elif k < m and body[k:k + 2] == "se":
+        sym = "Se"
+        aromatic = True
+        k += 2
+    else:
+        raise SmilesError(f"bad bracket atom [{body}]")
+    if sym == "H":
+        raise SmilesError(
+            "explicit hydrogen atoms ([H]) are unsupported — this framework "
+            "models heavy atoms with implicit hydrogens"
+        )
+    if sym not in SYMBOL_TO_Z:
+        raise SmilesError(f"unknown element {sym!r} in [{body}]")
+
+    while k < m and body[k] == "@":  # chirality — accepted, ignored
+        k += 1
+
+    hcount = 0
+    if k < m and body[k] == "H":
+        k += 1
+        d = ""
+        while k < m and body[k].isdigit():
+            d += body[k]
+            k += 1
+        hcount = int(d) if d else 1
+
+    charge = 0
+    while k < m and body[k] in "+-":
+        sign = 1 if body[k] == "+" else -1
+        k += 1
+        d = ""
+        while k < m and body[k].isdigit():
+            d += body[k]
+            k += 1
+        charge += sign * (int(d) if d else 1)
+
+    if k < m and body[k] == ":":  # atom map — accepted, ignored
+        k += 1
+        while k < m and body[k].isdigit():
+            k += 1
+    if k != m:
+        raise SmilesError(f"trailing junk in bracket atom [{body}]")
+
+    idx = mol.add_atom(SYMBOL_TO_Z[sym], charge=charge)
+    a = mol.atoms[idx]
+    a.aromatic = aromatic
+    # bracket atoms carry NO implicit hydrogens beyond the written count
+    a.num_explicit_h = hcount
+    return idx
