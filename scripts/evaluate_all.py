@@ -9,6 +9,9 @@ Usage:
   python scripts/evaluate_all.py --from_where dataset \
       --dataset_root <root> --split test
 
+  # bare SMILES list (one per line; 2D families only — no conformers)
+  python scripts/evaluate_all.py --from_where smiles --root SMILES.txt
+
 Writes mols.csv (per-mol metrics), validity.json, similarity.json (when a
 dataset is given for reference sets), local3d.pkl, freq_ring_type.pkl.
 """
@@ -60,6 +63,26 @@ def load_generated(root: str):
     return mols, decoded
 
 
+def load_smiles_file(path: str, limit=None):
+    """One SMILES per line (optionally followed by a name) -> sanitized
+    Mols; unparseable lines are skipped with a count."""
+    from moldiff_tpu.chem.smiles import SmilesError, mol_from_smiles
+
+    mols, skipped = [], 0
+    with open(path) as f:
+        for line in f:
+            token = line.split()[0] if line.split() else ""
+            if not token:
+                continue
+            try:
+                mols.append(mol_from_smiles(token))
+            except (SmilesError, MolError):
+                skipped += 1
+            if limit and len(mols) >= limit:
+                break
+    return mols, skipped
+
+
 def load_dataset_mols(dataset_root: str, split: str, limit=None):
     cfg = Config({
         "root": dataset_root,
@@ -88,7 +111,7 @@ def main(argv=None):
     from moldiff_tpu.utils.misc import force_platform_from_env
     force_platform_from_env()  # honor JAX_PLATFORMS despite sitecustomize
     ap = argparse.ArgumentParser()
-    ap.add_argument("--from_where", choices=["generated", "dataset"],
+    ap.add_argument("--from_where", choices=["generated", "dataset", "smiles"],
                     default="generated")
     ap.add_argument("--root", default=None, help="generated samples dir")
     ap.add_argument("--dataset_root", default=None)
@@ -107,6 +130,13 @@ def main(argv=None):
         assert args.root, "--root required for generated"
         out_dir = args.outdir or os.path.join(args.root, "metrics")
         mols, decoded = load_generated(args.root)
+    elif args.from_where == "smiles":
+        assert args.root, "--root (SMILES file) required for smiles"
+        out_dir = args.outdir or os.path.join(
+            os.path.dirname(os.path.abspath(args.root)), "metrics_smiles"
+        )
+        mols, n_skipped = load_smiles_file(args.root, args.limit)
+        decoded = []
     else:
         assert args.dataset_root, "--dataset_root required for dataset"
         out_dir = args.outdir or os.path.join(
@@ -126,7 +156,7 @@ def main(argv=None):
     rows = [dict() for _ in mols]
     families = ["drug_chem", "count_prop", "frags_counts", "groups_counts",
                 "ring_topo"]
-    if args.global3d:
+    if args.global3d and args.from_where != "smiles":
         families.append("global_3d")
     for family in families:
         for r, d in zip(rows, get_metric(mols, family, parallel=args.parallel)):
@@ -135,7 +165,15 @@ def main(argv=None):
     df.to_csv(os.path.join(out_dir, "mols.csv"), index=False)
     logger.info(f"mols.csv: {df.shape}")
 
-    # local 3d distributions
+    # local 3d distributions (needs conformers; SMILES input has none)
+    if args.from_where == "smiles":
+        with open(os.path.join(out_dir, "local3d.pkl"), "wb") as f:
+            pickle.dump(None, f)
+        rings, counts = RingAnalyzer().get_freq_rings(mols, topk=10)
+        with open(os.path.join(out_dir, "freq_ring_type.pkl"), "wb") as f:
+            pickle.dump({"rings": rings, "counts": counts}, f)
+        logger.info(f"top rings: {list(zip(rings, counts))[:5]}")
+        return out_dir
     l3d = Local3D()
     l3d.get_predefined()
     local3d = {

@@ -159,3 +159,29 @@ class TestEndToEnd:
             ["--config", cfg_path, "--logdir", str(tmp_path / "logs")]
         )
         assert glob.glob(os.path.join(log_dir, "checkpoints", "*.ckpt"))
+
+
+class TestEvaluateSmilesMode:
+    def test_from_smiles(self, tmp_path):
+        """evaluate_all --from_where smiles: 2D metric families on a bare
+        SMILES list (possible since chem/smiles.py gained a reader)."""
+        import pandas as pd
+
+        import evaluate_all
+
+        smi = tmp_path / "SMILES.txt"
+        smi.write_text(
+            "CC(=O)Oc1ccccc1C(=O)O aspirin\n"
+            "CC(=O)Nc1ccc(O)cc1\n"
+            "this_is_not_smiles\n"
+            "c1ccccc1\n"
+        )
+        out = evaluate_all.main([
+            "--from_where", "smiles", "--root", str(smi),
+            "--outdir", str(tmp_path / "m"),
+        ])
+        df = pd.read_csv(os.path.join(out, "mols.csv"))
+        assert len(df) == 3  # bad line skipped
+        assert df.iloc[0]["logp"] == pytest.approx(1.31, abs=0.01)
+        assert df.iloc[0]["weight"] == pytest.approx(180.16, abs=0.01)
+        assert os.path.exists(os.path.join(out, "freq_ring_type.pkl"))
