@@ -48,6 +48,8 @@ def check_valence(mol: Mol, i: int) -> bool:
     else:
         v = mol.valence_sum(i)
         v_int = int(-(-v // 1))  # ceil
+    # an explicit hydrogen-count override ([nH] etc.) is part of the valence
+    v_int += a.num_explicit_h or 0
     vals = allowed_valences(a.z, a.charge)
     if not vals:
         return False
@@ -119,8 +121,9 @@ def _needs_double(mol: Mol, i: int, pyrrole_like: Set[int]) -> bool:
     if i in pyrrole_like:
         return False
     a = mol.atoms[i]
-    # fixed (non-aromatic) bond order sum
-    fixed = 0.0
+    # fixed (non-aromatic) bond order sum; an explicit H override counts
+    # toward the fixed valence (a saturated [nH] can't take a double bond)
+    fixed = float(a.num_explicit_h or 0)
     n_arom = 0
     for j, bidx in mol._adj[i].items():
         o = mol.bonds[bidx].order
@@ -214,17 +217,21 @@ def fix_aromatic(mol: Mol, strict: bool = False) -> Optional[Mol]:
     N/S/O to make kekulization succeed (reference utils/reconstruct.py:324-387
     enumerates [nH]/[n+] combos). Returns a sanitizable copy or None."""
     systems = _aromatic_systems(mol)
+    seed: Set[int] = set()
     cand: List[int] = []
     for system in systems:
         for i in system:
             if mol.atoms[i].z in (7, 8, 16):
-                cand.append(i)
+                if (mol.atoms[i].num_explicit_h or 0) >= 1:
+                    seed.add(i)  # explicit [nH]: pyrrole-like by construction
+                else:
+                    cand.append(i)
     # limit enumeration like the reference (it caps combination size)
     cand = cand[:12]
     for r in range(0, min(len(cand), 6) + 1):
         for combo in itertools.combinations(cand, r):
             try:
-                kek = kekulize(mol, pyrrole_like=set(combo))
+                kek = kekulize(mol, pyrrole_like=seed | set(combo))
             except MolError:
                 continue
             if first_valence_error(kek) is None:
@@ -266,16 +273,24 @@ def sanitize(mol: Mol) -> Mol:
             f"has bond-order sum {mol.valence_sum(bad)}"
         )
     _aromatic_ring_check(mol)
-    # kekulizable with some pyrrole-like assignment?
+    # kekulizable with some pyrrole-like assignment? Atoms that already
+    # carry an explicit H override ([nH] from parsed SMILES) are pyrrole-
+    # like BY CONSTRUCTION: seed them and enumerate only over the rest, so
+    # sanitize never invents a second NH in e.g. tetrazole c1nnn[nH]1.
     systems = _aromatic_systems(mol)
     if systems:
-        cand = [i for s in systems for i in s if mol.atoms[i].z in (7, 8, 16)]
+        in_system = {i for s in systems for i in s}
+        seed = {i for i in in_system
+                if mol.atoms[i].z in (7, 8, 16)
+                and (mol.atoms[i].num_explicit_h or 0) >= 1}
+        cand = [i for s in systems for i in s
+                if mol.atoms[i].z in (7, 8, 16) and i not in seed]
         ok = False
         combo = ()
         for r in range(0, min(len(cand), 6) + 1):
             for combo in itertools.combinations(cand[:12], r):
                 try:
-                    kek = kekulize(mol, pyrrole_like=set(combo))
+                    kek = kekulize(mol, pyrrole_like=seed | set(combo))
                 except MolError:
                     continue
                 if first_valence_error(kek) is None:

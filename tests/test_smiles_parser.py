@@ -159,3 +159,34 @@ class TestDescriptorGoldens:
         m = mol_from_smiles(s)
         assert tpsa(m) == pytest.approx(want_tpsa, abs=0.01)
         assert logp(m) == pytest.approx(want_logp, abs=0.02)
+
+
+class TestExplicitHChemistry:
+    """Regression: sanitize/kekulize must RESPECT explicit [nH] overrides —
+    found via parser round-trip fuzzing (tetrazole gained a second NH, and
+    check_valence ignored explicit H entirely)."""
+
+    def test_tetrazole_single_nh_preserved(self):
+        m = mol_from_smiles("c1nnn[nH]1")
+        nh = [i for i, a in enumerate(m.atoms)
+              if a.z == 7 and (a.num_explicit_h or 0) >= 1]
+        assert len(nh) == 1
+
+    def test_purine_single_nh_preserved(self):
+        m = mol_from_smiles("c1ncc2[nH]cnc2n1")
+        nh = sum(1 for a in m.atoms
+                 if a.z == 7 and (a.num_explicit_h or 0) >= 1)
+        assert nh == 1
+
+    def test_heteroaromatic_round_trips_stable(self):
+        for s in ["c1nnn[nH]1", "c1ncc2[nH]cnc2n1", "c1cc[nH]n1",
+                  "O=c1cccc[nH]1", "c1c[nH]cn1"]:
+            out = mol_to_smiles(mol_from_smiles(s))
+            assert mol_to_smiles(mol_from_smiles(out)) == out, s
+
+    def test_check_valence_counts_explicit_h(self):
+        """[NH4] (neutral N with 4 explicit H) must be a valence error."""
+        with pytest.raises(MolError):
+            mol_from_smiles("C[NH3]")  # N: 1 bond + 3 H = 4 > 3
+        m = mol_from_smiles("C[NH2]")  # 1 + 2 = 3: fine
+        assert m.num_atoms == 2
