@@ -154,11 +154,27 @@ class TestDescriptorGoldens:
         ("c1ccccc1", 0.0, 1.69),                     # benzene
     ]
 
+    # published Ertl-TPSA values for complex drugs (parser + aromatic
+    # perception + N/O typing all have to be right to reproduce these)
+    TPSA_ONLY = [
+        ("CN1c2ccc(Cl)cc2C(=NCC1=O)c1ccccc1", 32.67),          # diazepam
+        ("CN(C)CCCN1c2ccccc2Sc2ccc(Cl)cc21", 6.48),            # chlorpromazine
+        ("CC(=O)CC(c1ccccc1)c1c(O)c2ccccc2oc1=O", 67.51),      # warfarin
+        ("Cc1ccc(cc1)c1cc(nn1c1ccc(cc1)S(=O)(=O)N)C(F)(F)F",
+         77.98),                                                # celecoxib
+        ("CCCc1nn(C)c2c1nc([nH]c2=O)c1cc(ccc1OCC)S(=O)(=O)N1CCN(C)CC1",
+         113.42),                                               # sildenafil
+    ]
+
     @pytest.mark.parametrize("s,want_tpsa,want_logp", CASES)
     def test_tpsa_and_logp(self, s, want_tpsa, want_logp):
         m = mol_from_smiles(s)
         assert tpsa(m) == pytest.approx(want_tpsa, abs=0.01)
         assert logp(m) == pytest.approx(want_logp, abs=0.02)
+
+    @pytest.mark.parametrize("s,want_tpsa", TPSA_ONLY)
+    def test_complex_drug_tpsa(self, s, want_tpsa):
+        assert tpsa(mol_from_smiles(s)) == pytest.approx(want_tpsa, abs=0.01)
 
 
 class TestExplicitHChemistry:
