@@ -330,8 +330,13 @@ class Trainer:
             ema = jax.tree.map(lambda x: np.array(x, copy=True), ckpt["params"])
         if self.ema_decay == 0:
             ema = None
+        opt_state = ckpt["opt_state"]
+        if opt_state is None:
+            # distribution checkpoint (scripts/strip_checkpoint.py): params
+            # only — fine-tuning re-initializes the optimizer fresh.
+            opt_state = self.optimizer.init(ckpt["params"])
         state = TrainState(
-            ckpt["params"], ckpt["opt_state"],
+            ckpt["params"], opt_state,
             jnp.asarray(ckpt["step"], jnp.int32), ema,
         )
         if ckpt.get("scheduler") is not None:
@@ -438,4 +443,21 @@ def load_checkpoint(path: str) -> dict:
             "ema_params": st.ema_params,
         }
     with open(path, "rb") as f:
-        return pickle.load(f)
+        blob = pickle.load(f)
+    # float16 is a STORAGE format (scripts/strip_checkpoint.py --f16): the
+    # compute dtype is config-driven (denoiser.dtype), so distribution
+    # checkpoints upcast back to float32 here and every consumer sees the
+    # dtype training produced.
+    def _upcast(tree):
+        if tree is None:
+            return None
+        return jax.tree.map(
+            lambda x: x.astype(np.float32)
+            if isinstance(x, np.ndarray) and x.dtype == np.float16 else x,
+            tree,
+        )
+
+    blob["params"] = _upcast(blob.get("params"))
+    if blob.get("ema_params") is not None:
+        blob["ema_params"] = _upcast(blob["ema_params"])
+    return blob

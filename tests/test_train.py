@@ -231,6 +231,55 @@ class TestTrainer:
         blob = load_checkpoint(path)
         assert blob["config"]["node_dim"] == 16
 
+    def test_strip_checkpoint_distribution_roundtrip(self, rng, tmp_path):
+        """scripts/strip_checkpoint.py: the distribution subset keeps params/
+        ema/config/step, drops resume state, --ema_only promotes EMA to
+        'params', and --f16 storage upcasts back to float32 on load."""
+        from scripts.strip_checkpoint import main as strip_main
+
+        cfg = train_config()
+        cfg["ema_decay"] = 0.5
+        model = MolDiff(tiny_model_config(), 8, 6)
+        tr = Trainer(model, cfg, mesh=make_mesh(1))
+        st = tr.init_state(jax.random.key(0))
+        batch = make_batch(rng)
+        for i in range(2):
+            st, _ = tr.train_step(st, batch, jax.random.key(i))
+        src = str(tmp_path / "train.ckpt")
+        tr.save_checkpoint(src, st, model_config=tiny_model_config(),
+                           key=jax.random.key(9))
+
+        dst = str(tmp_path / "dist.ckpt")
+        strip_main([src, dst])
+        blob = load_checkpoint(dst)
+        assert blob["opt_state"] is None and blob["key"] is None
+        assert os.path.getsize(dst) < os.path.getsize(src)
+        for a, b in zip(jax.tree.leaves(jax.device_get(st.params)),
+                        jax.tree.leaves(blob["params"])):
+            np.testing.assert_array_equal(a, b)
+        # sampling-path consumers only need params/config/step: a fresh
+        # trainer can still seed EMA from it and keep training
+        st2 = tr.load_checkpoint(dst)
+        _, aux = tr.train_step(st2, batch, jax.random.key(3))
+        assert np.isfinite(float(aux["loss"]))
+
+        ema_dst = str(tmp_path / "ema.ckpt")
+        strip_main([src, ema_dst, "--ema_only"])
+        ema_blob = load_checkpoint(ema_dst)
+        assert ema_blob["ema_params"] is None
+        for a, b in zip(jax.tree.leaves(jax.device_get(st.ema_params)),
+                        jax.tree.leaves(ema_blob["params"])):
+            np.testing.assert_array_equal(a, b)
+
+        f16_dst = str(tmp_path / "f16.ckpt")
+        strip_main([src, f16_dst, "--f16"])
+        f16_blob = load_checkpoint(f16_dst)
+        for a, b in zip(jax.tree.leaves(jax.device_get(st.params)),
+                        jax.tree.leaves(f16_blob["params"])):
+            assert b.dtype == np.float32  # storage f16, loaded f32
+            np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+        assert os.path.getsize(f16_dst) < os.path.getsize(dst)
+
     @pytest.mark.slow
     def test_grad_accum_matches_manual_average(self, rng):
         """K=2 accumulation must equal hand-computed per-microbatch grads
