@@ -21,6 +21,7 @@ from moldiff_tpu.utils.config import Config
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CKPT = os.path.join(REPO, "ckpts", "demo_synthetic_4k.ckpt")
+BP_CKPT = os.path.join(REPO, "ckpts", "demo_bondpred_4k.ckpt")
 
 
 @pytest.fixture(scope="module")
@@ -71,3 +72,32 @@ def test_demo_ckpt_forward_runs(ckpt):
     assert preds.pred_halfedge.shape == (b, e, feat.num_edge_types)
     for arr in (preds.pred_node, preds.pred_pos, preds.pred_halfedge):
         assert bool(jnp.isfinite(arr).all())
+
+
+def test_demo_bondpred_ckpt_runs():
+    """The committed bond-predictor weights (the guided quickstart,
+    configs/sample/sample_demo_guided.yml) load and produce finite edge
+    logits at the sample-time vocabulary (no mask class on edges —
+    scripts/sample_drug3d.py:163-166)."""
+    from moldiff_tpu.models.bond_predictor import BondPredictor
+
+    assert os.path.exists(BP_CKPT), "committed bond-pred checkpoint missing"
+    ckpt = load_checkpoint(BP_CKPT)
+    assert ckpt["opt_state"] is None
+    cfg = Config(ckpt["config"])
+    assert cfg.model.name == "bond_predictor"
+    feat = featurizer_from_config(cfg)
+    cfg.model.encoder["remat"] = False
+    bp = BondPredictor(cfg.model, num_node_types=feat.num_node_types,
+                       num_edge_types=feat.num_bond_types + 1)
+    b, n = 2, 8
+    rng = np.random.default_rng(1)
+    h_node = jax.nn.one_hot(rng.integers(0, feat.num_node_types, (b, n)),
+                            feat.num_node_types)
+    pos = jnp.asarray(rng.normal(size=(b, n, 3)), jnp.float32)
+    t = jnp.asarray([5, 100], jnp.int32)
+    node_mask = jnp.ones((b, n), jnp.float32).at[1, 5:].set(0.0)
+    logits = bp.forward(ckpt["params"], h_node, pos, t, node_mask)
+    assert logits.shape == (b, graph_ops.num_halfedges(n),
+                            feat.num_bond_types + 1)
+    assert bool(jnp.isfinite(logits).all())
