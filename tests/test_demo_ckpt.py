@@ -1,5 +1,5 @@
 """Guards the COMMITTED pretrained demo checkpoint artifact
-(ckpts/demo_synthetic_4k.ckpt, configs/sample/sample_demo.yml): the repo
+(ckpts/demo_synthetic_30k.ckpt, configs/sample/sample_demo.yml): the repo
 promises an out-of-the-box sampling quickstart (README), so the artifact
 must stay loadable, dtype-correct, and runnable through the real model.
 
@@ -20,7 +20,7 @@ from moldiff_tpu.train.trainer import load_checkpoint
 from moldiff_tpu.utils.config import Config
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-CKPT = os.path.join(REPO, "ckpts", "demo_synthetic_4k.ckpt")
+CKPT = os.path.join(REPO, "ckpts", "demo_synthetic_30k.ckpt")
 BP_CKPT = os.path.join(REPO, "ckpts", "demo_bondpred_4k.ckpt")
 
 
@@ -33,7 +33,7 @@ def ckpt():
 def test_demo_ckpt_contract(ckpt):
     """Distribution format: params + full train config + step, resume state
     stripped, f16 storage upcast to f32 by load_checkpoint."""
-    assert ckpt["step"] == 4000
+    assert ckpt["step"] == 30000
     assert ckpt["opt_state"] is None and ckpt["scheduler"] is None
     leaves = jax.tree.leaves(ckpt["params"])
     assert leaves, "empty params tree"
