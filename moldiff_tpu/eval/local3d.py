@@ -155,7 +155,7 @@ PREDEFINED_DIHEDRALS = [
     "c:c:c:c", "[#6]-[#6]-[#6]-[#6]", "[#6]-[#7]-[#6]-[#6]", "[#6]-c:c:c",
     "[#7]-[#6]-[#6]-[#6]", "[#7]-c:c:c", "O-c:c:c", "[#6]-[#7]-c:c",
     "[#7]-[#6]-c:c", "n:c:c:c", "[#6]-[#7]-[#6]=O", "[#6]-[#6]-c:c",
-    "c:n:c:c", "[#6]-O-c:c",
+    "c:c-[#7]-[#6]", "c:n:c:c", "[#6]-O-c:c",
 ]
 
 

@@ -166,6 +166,34 @@ class TestLocal3D:
         angles = l3d.calc_frequent([benzene()], "angle")
         np.testing.assert_allclose(angles["c:c:c"], 120.0, atol=0.5)
 
+    def test_predefined_lists_pin_reference(self):
+        """The three predefined SMARTS sets must equal the reference's
+        verbatim (utils/evaluation.py:195-208 get_predefined) — a silently
+        dropped pattern shrinks the JSD panel without failing anything.
+        Extracted by AST so no rdkit import is needed."""
+        import ast
+        import os
+
+        ref = "/root/reference/utils/evaluation.py"
+        if not os.path.exists(ref):
+            pytest.skip("reference checkout unavailable")
+        with open(ref) as f:
+            tree = ast.parse(f.read())
+        lists = {}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Assign) and len(node.targets) == 1:
+                tgt = node.targets[0]
+                if isinstance(tgt, ast.Name) and tgt.id in (
+                        "bonds_smarts", "pairs_smarts", "triplet_smarts"):
+                    lists[tgt.id] = [
+                        e.value for e in node.value.elts
+                        if isinstance(e, ast.Constant)]
+        from moldiff_tpu.eval.local3d import (
+            PREDEFINED_ANGLES, PREDEFINED_BONDS, PREDEFINED_DIHEDRALS)
+        assert lists["bonds_smarts"] == PREDEFINED_BONDS
+        assert lists["pairs_smarts"] == PREDEFINED_ANGLES
+        assert lists["triplet_smarts"] == PREDEFINED_DIHEDRALS
+
 
 class TestMetrics:
     def test_families_run(self, rng):
