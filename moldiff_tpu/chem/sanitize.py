@@ -64,21 +64,24 @@ def first_valence_error(mol: Mol) -> Optional[int]:
 
 
 def fix_valence(mol: Mol) -> Tuple[Mol, bool]:
-    """Try formal-charge fixes for over-valent atoms (reference
-    utils/reconstruct.py:295-315 fixes 4-valent N as N+). Returns
-    (mol, fixed_ok)."""
+    """Charge fix for over-valent atoms, matching the reference EXACTLY
+    (utils/reconstruct.py:295-315): its regex only matches RDKit's
+    "Explicit valence for atom # i N, 4" error, so the ONLY fix ever applied
+    is neutral tetravalent N -> N+. Everything else (trivalent O, pentavalent
+    N, divalent halogens, ...) stays broken and the molecule is rejected —
+    a generalized +-1 charge fix here would make the cascade systematically
+    more lenient than the reference and silently inflate the success metric.
+    Returns (mol, fixed_ok)."""
     mol = mol.copy()
     changed = False
     for i, a in enumerate(mol.atoms):
         if check_valence(mol, i):
             continue
-        v_int = int(-(-mol.valence_sum(i) // 1))
-        for charge in (+1, -1):
-            vals = allowed_valences(a.z, charge)
-            if vals and v_int <= max(vals):
-                a.charge = charge
+        if a.z == 7 and a.charge == 0:
+            v_int = int(-(-mol.valence_sum(i) // 1))
+            if v_int == 4:
+                a.charge = +1
                 changed = True
-                break
     return mol, first_valence_error(mol) is None and changed
 
 
@@ -121,6 +124,11 @@ def _needs_double(mol: Mol, i: int, pyrrole_like: Set[int]) -> bool:
     if i in pyrrole_like:
         return False
     a = mol.atoms[i]
+    # neutral aromatic O/S are ALWAYS lone-pair donors in RDKit's kekulizer
+    # (thiophene/furan); only the charged forms (s+/o+, via fix_aromatic's
+    # charge enumeration) can take a kekule double bond (thiopyrylium).
+    if a.z in (8, 16) and a.charge == 0:
+        return False
     # fixed (non-aromatic) bond order sum; an explicit H override counts
     # toward the fixed valence (a saturated [nH] can't take a double bond)
     fixed = float(a.num_explicit_h or 0)
@@ -213,9 +221,22 @@ def _aromatic_ring_check(mol: Mol) -> None:
 
 
 def fix_aromatic(mol: Mol, strict: bool = False) -> Optional[Mol]:
-    """Enumerate pyrrole-like assignments (and N+ charges) on aromatic-ring
-    N/S/O to make kekulization succeed (reference utils/reconstruct.py:324-387
-    enumerates [nH]/[n+] combos). Returns a sanitizable copy or None."""
+    """Enumerate fixes on aromatic-ring N/S/O to make kekulization succeed,
+    mirroring the reference's action space (utils/reconstruct.py:324-387):
+    each acted N takes either SetNumExplicitHs(1) (pyrrole-like lone-pair
+    donor) or SetFormalCharge(+1) (pyridinium-like, can then take a double
+    bond); each acted S takes +1; O is only ever a lone-pair donor (the
+    reference never charges O — RDKit's kekulizer handles furan natively).
+    Returns a sanitizable copy or None.
+
+    More general than the reference in ONE documented way: the reference
+    acts on at most one atom per ring SYSTEM (itertools.product over
+    per-system candidate lists), so a fused system needing two fixes (e.g.
+    bare-N pyrrolo[3,2-b]pyrrole, which RDKit happily parses with two [nH])
+    is rejected by the reference's search but accepted here — a search
+    limitation, not a chemistry judgement; RDKit itself sanitizes those
+    molecules. tests/test_sanitize_golden.py pins both behaviors.
+    """
     systems = _aromatic_systems(mol)
     seed: Set[int] = set()
     cand: List[int] = []
@@ -230,21 +251,32 @@ def fix_aromatic(mol: Mol, strict: bool = False) -> Optional[Mol]:
     cand = cand[:12]
     for r in range(0, min(len(cand), 6) + 1):
         for combo in itertools.combinations(cand, r):
-            try:
-                kek = kekulize(mol, pyrrole_like=seed | set(combo))
-            except MolError:
-                continue
-            if first_valence_error(kek) is None:
-                # the successful pyrrole-like assignment proves
-                # kekulizability; the aromatic mol itself is returned
-                # (sanitize re-derives the assignment when needed)
-                out = mol.copy()
-                if strict:
+            # action 0 = pyrrole-like (H), 1 = formal charge +1 (N/S only),
+            # the reference's itertools.product([0, 1], ...) per acted atom
+            for actions in itertools.product((0, 1), repeat=r):
+                if any(a == 1 and mol.atoms[i].z == 8
+                       for i, a in zip(combo, actions)):
+                    continue
+                trial = mol.copy()
+                pyr = set(seed)
+                for i, act in zip(combo, actions):
+                    if act == 0:
+                        pyr.add(i)
+                    else:
+                        trial.atoms[i].charge = +1
+                try:
+                    kek = kekulize(trial, pyrrole_like=pyr)
+                except MolError:
+                    continue
+                if first_valence_error(kek) is None:
+                    # the successful assignment proves kekulizability; the
+                    # (possibly charge-fixed) aromatic mol is returned and
+                    # sanitize re-derives the H assignment when needed
                     try:
-                        sanitize(out)
+                        sanitize(trial)
                     except MolError:
                         continue
-                return out
+                    return trial
     # final attempt: also allow charge fixes
     fixed, ok = fix_valence(mol)
     if ok:

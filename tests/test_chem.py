@@ -280,16 +280,20 @@ class TestValenceEdgeCases:
         with pytest.raises(MolError):
             sanitize(m)
 
-    def test_carbanion_fix(self):
+    def test_trivalent_oxygen_not_fixed(self):
+        """The reference's fix_valence regex only matches the N-valence-4
+        RDKit error (utils/reconstruct.py:308-311), so trivalent O is NOT
+        rescued as O+ — the molecule is rejected. A generalized charge fix
+        here would inflate the success metric vs the reference."""
         m = Mol()
         o = m.add_atom(8)
         c1, c2 = m.add_atom(6), m.add_atom(6)
         m.add_bond(o, c1, 1)
         m.add_bond(o, c2, 1)
         o3 = m.add_atom(6)
-        m.add_bond(o, o3, 1)  # O with 3 single bonds -> needs +1
+        m.add_bond(o, o3, 1)  # O with 3 single bonds: no fix, reject
         fixed, ok = fix_valence(m)
-        assert ok and fixed.atoms[o].charge == 1
+        assert not ok and fixed.atoms[o].charge == 0
 
     def test_imidazole(self):
         """5-ring with two N: one pyridine-type, one pyrrole-type."""

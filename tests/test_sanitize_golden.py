@@ -1,0 +1,275 @@
+"""Golden acceptance table for the sanitize cascade.
+
+The >=99% sampling-success headline flows entirely through
+``reconstruct_from_generated`` (chem/sanitize.py), our first-party stand-in
+for the reference's RDKit cascade (`/root/reference/utils/reconstruct.py:
+246-387`): build RWMol -> Chem.SanitizeMol -> Kekulize check ->
+fix_aromatic (per ring-system N: SetNumExplicitHs(1) OR SetFormalCharge(+1);
+ring S: +1) -> fix_valence (ONLY the "N, 4" RDKit error -> N+) ->
+fix_aromatic(strict). If our cascade were systematically more lenient than
+RDKit, every success number in BASELINE.md would be silently inflated — this
+table pins the acceptance semantics case by case.
+
+Every case is hand-derived from RDKit's documented valence/kekulization
+model (explicit valence must not exceed the element/charge's allowed
+valences, implicit Hs fill the remainder; aromatic bonds must lie in rings
+and admit a Kekule assignment where neutral aromatic O/S donate lone pairs
+and never take double bonds, bare degree-2 N may either take a double bond
+(pyridine) or be H-fixed (pyrrole), and the cascade's ONLY charge fixes are
+ring-N/S +1 and the N4->N+ valence fix). On accept, structure is pinned by
+comparing our canonical SMILES of the reconstruction against the
+canonicalized form of a hand-written SMILES (writer-vs-writer isomorphism
+check), plus formal-charge / [nH]-count assertions.
+
+Known, documented divergence from the reference (NOT from RDKit): the
+reference's fix_aromatic enumeration acts on at most ONE atom per ring
+system, so fused systems needing two fixes are rejected by its *search*
+even when RDKit happily sanitizes the fixed molecule; our enumeration
+covers those (see fix_aromatic docstring). None of the cases below depend
+on that difference.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from moldiff_tpu.chem import MolError, reconstruct_from_generated
+from moldiff_tpu.chem.smiles import mol_from_smiles, mol_to_smiles
+
+
+def _ring(n, t=4, off=0):
+    return [(off + i, off + (i + 1) % n, t) for i in range(n)]
+
+
+# name -> (elements, bonds[(i, j, order)], verdict, expected)
+# verdict: "accept" | "reject"
+# expected: dict with optional keys
+#   smiles:   hand-written SMILES the reconstruction must be isomorphic to
+#   smiles_any: list of allowed tautomers (H-placement is search-order
+#               dependent in BOTH our cascade and the reference's)
+#   charges:  sorted list of nonzero formal charges after the cascade
+#   nh:       number of [nH] tokens in the canonical SMILES
+CASES = {
+    # --- plain valence accepts (SanitizeMol passes directly) -------------
+    "ethanol": ([6, 6, 8], [(0, 1, 1), (1, 2, 1)],
+                "accept", dict(smiles="CCO")),
+    "acetic_acid": ([6, 6, 8, 8], [(0, 1, 1), (1, 2, 2), (1, 3, 1)],
+                    "accept", dict(smiles="CC(=O)O")),
+    "acetonitrile": ([6, 6, 7], [(0, 1, 1), (1, 2, 3)],
+                     "accept", dict(smiles="CC#N")),
+    "dimethyl_ether": ([6, 8, 6], [(0, 1, 1), (1, 2, 1)],
+                       "accept", dict(smiles="COC")),
+    "formaldehyde": ([6, 8], [(0, 1, 2)], "accept", dict(smiles="C=O")),
+    "co2": ([8, 6, 8], [(0, 1, 2), (1, 2, 2)],
+            "accept", dict(smiles="O=C=O")),
+    "imine": ([6, 7, 6], [(0, 1, 2), (1, 2, 1)],
+              "accept", dict(smiles="CN=C")),
+    "guanidine": ([6, 7, 7, 7], [(0, 1, 2), (0, 2, 1), (0, 3, 1)],
+                  "accept", dict(smiles="N=C(N)N")),
+    "urea": ([8, 6, 7, 7], [(0, 1, 2), (1, 2, 1), (1, 3, 1)],
+             "accept", dict(smiles="NC(N)=O")),
+    "ester": ([6, 6, 8, 8, 6], [(0, 1, 1), (1, 2, 2), (1, 3, 1), (3, 4, 1)],
+              "accept", dict(smiles="COC(C)=O")),
+    "amide": ([6, 6, 8, 7, 6], [(0, 1, 1), (1, 2, 2), (1, 3, 1), (3, 4, 1)],
+              "accept", dict(smiles="CNC(C)=O")),
+    "thioketone": ([6, 16, 6, 6], [(0, 1, 2), (0, 2, 1), (0, 3, 1)],
+                   "accept", dict(smiles="CC(C)=S")),
+    "dimethyl_sulfide": ([6, 16, 6], [(0, 1, 1), (1, 2, 1)],
+                         "accept", dict(smiles="CSC")),
+    # hypervalent S/P follow RDKit's (2,4,6)/(3,5) valence models
+    "sulfoxide_S4": ([6, 16, 6, 8], [(0, 1, 1), (1, 2, 1), (1, 3, 2)],
+                     "accept", dict(smiles="CS(C)=O")),
+    "sulfone_S6": ([16, 8, 8, 6, 6],
+                   [(0, 1, 2), (0, 2, 2), (0, 3, 1), (0, 4, 1)],
+                   "accept", dict(smiles="CS(C)(=O)=O")),
+    "phosphate_P5": ([15, 8, 8, 8, 8],
+                     [(0, 1, 2), (0, 2, 1), (0, 3, 1), (0, 4, 1)],
+                     "accept", dict(smiles="O=P(O)(O)O")),
+    "cyclohexane": ([6] * 6, _ring(6, 1), "accept", dict(smiles="C1CCCCC1")),
+    "cyclopropane": ([6] * 3, _ring(3, 1), "accept", dict(smiles="C1CC1")),
+    "2H_pyran": ([8, 6, 6, 6, 6, 6],
+                 [(0, 1, 1), (1, 2, 2), (2, 3, 1), (3, 4, 2), (4, 5, 1),
+                  (5, 0, 1)],
+                 "accept", dict(smiles="C1C=CC=CO1")),
+    # sanitize accepts disconnected graphs (success/connectivity is a
+    # separate metric downstream, as in the reference)
+    "disconnected_two_ethanes": ([6, 6, 6, 6], [(0, 1, 1), (2, 3, 1)],
+                                 "accept", dict(smiles="CC.CC")),
+
+    # --- aromatic accepts ------------------------------------------------
+    "benzene": ([6] * 6, _ring(6), "accept", dict(smiles="c1ccccc1")),
+    "toluene": ([6] * 7, _ring(6) + [(0, 6, 1)],
+                "accept", dict(smiles="Cc1ccccc1")),
+    "phenol": ([8] + [6] * 6, _ring(6, off=1) + [(0, 1, 1)],
+               "accept", dict(smiles="Oc1ccccc1")),
+    "aniline": ([7] + [6] * 6, _ring(6, off=1) + [(0, 1, 1)],
+                "accept", dict(smiles="Nc1ccccc1")),
+    "chlorobenzene": ([17] + [6] * 6, _ring(6, off=1) + [(0, 1, 1)],
+                      "accept", dict(smiles="Clc1ccccc1")),
+    "cf3_benzene": ([6, 9, 9, 9] + [6] * 6,
+                    [(0, 1, 1), (0, 2, 1), (0, 3, 1), (0, 4, 1)]
+                    + _ring(6, off=4),
+                    "accept", dict(smiles="FC(F)(F)c1ccccc1")),
+    "styrene": ([6] * 8, _ring(6) + [(0, 6, 1), (6, 7, 2)],
+                "accept", dict(smiles="C=Cc1ccccc1")),
+    "biphenyl": ([6] * 12, _ring(6) + _ring(6, off=6) + [(0, 6, 1)],
+                 "accept", dict(smiles="c1ccc(-c2ccccc2)cc1")),
+    "pyridine": ([7, 6, 6, 6, 6, 6], _ring(6),
+                 "accept", dict(smiles="c1ccncc1")),
+    "pyrimidine": ([7, 6, 7, 6, 6, 6], _ring(6),
+                   "accept", dict(smiles="c1cncnc1")),
+    "pyrazine": ([7, 6, 6, 7, 6, 6], _ring(6),
+                 "accept", dict(smiles="c1cnccn1")),
+    # bare-N pyrrole: RDKit's SanitizeMol alone fails (unkekulized N), the
+    # cascade's fix_aromatic adds the H -> accept with one [nH]
+    "pyrrole_bare_N": ([7, 6, 6, 6, 6], _ring(5),
+                       "accept", dict(smiles="c1cc[nH]c1", nh=1)),
+    "imidazole": ([7, 6, 7, 6, 6], _ring(5),
+                  "accept", dict(smiles="c1c[nH]cn1", nh=1)),
+    "pyrazole": ([7, 7, 6, 6, 6], _ring(5),
+                 "accept", dict(smiles="c1cc[nH]n1", nh=1)),
+    "thiophene": ([16, 6, 6, 6, 6], _ring(5),
+                  "accept", dict(smiles="c1ccsc1")),
+    "furan": ([8, 6, 6, 6, 6], _ring(5),
+              "accept", dict(smiles="c1ccoc1")),
+    "oxazole": ([8, 6, 7, 6, 6], _ring(5),
+                "accept", dict(smiles="c1ocnc1")),
+    "thiazole": ([16, 6, 7, 6, 6], _ring(5),
+                 "accept", dict(smiles="c1scnc1")),
+    # tetrazole: WHICH N gets the H is search-order dependent (1H vs 2H
+    # tautomers) in both cascades; pin accept + exactly one [nH]
+    "tetrazole": ([7, 7, 7, 7, 6], _ring(5),
+                  "accept", dict(smiles_any=["c1nnn[nH]1", "c1nn[nH]n1"],
+                                 nh=1)),
+    "naphthalene": ([6] * 10,
+                    _ring(6) + [(4, 6, 4), (6, 7, 4), (7, 8, 4), (8, 9, 4),
+                                (9, 5, 4)],
+                    "accept", dict(smiles="c1ccc2ccccc2c1")),
+    # three fused rings, angular fusion (second ring's 8-9 edge): phenanthrene
+    "phenanthrene": ([6] * 14,
+                     _ring(6) + [(4, 6, 4), (6, 7, 4), (7, 8, 4), (8, 9, 4),
+                                 (9, 5, 4), (8, 10, 4), (10, 11, 4),
+                                 (11, 12, 4), (12, 13, 4), (13, 9, 4)],
+                     "accept", dict(smiles="c1ccc2c(c1)ccc1ccccc12")),
+    "indole": ([6, 6, 6, 6, 6, 6, 7, 6, 6],
+               _ring(6) + [(4, 6, 4), (6, 7, 4), (7, 8, 4), (8, 5, 4)],
+               "accept", dict(smiles="c1ccc2[nH]ccc2c1", nh=1)),
+    "quinoline": ([7] + [6] * 9,
+                  _ring(6) + [(4, 6, 4), (6, 7, 4), (7, 8, 4), (8, 9, 4),
+                              (9, 5, 4)],
+                  "accept", dict(smiles="c1ccc2ncccc2c1")),
+    "isoquinoline": ([6, 7] + [6] * 8,
+                     _ring(6) + [(4, 6, 4), (6, 7, 4), (7, 8, 4), (8, 9, 4),
+                                 (9, 5, 4)],
+                     "accept", dict(smiles="c1ccc2cnccc2c1")),
+    "benzofuran": ([6, 6, 6, 6, 6, 6, 8, 6, 6],
+                   _ring(6) + [(4, 6, 4), (6, 7, 4), (7, 8, 4), (8, 5, 4)],
+                   "accept", dict(smiles="c1ccc2occc2c1")),
+    "benzothiophene": ([6, 6, 6, 6, 6, 6, 16, 6, 6],
+                       _ring(6) + [(4, 6, 4), (6, 7, 4), (7, 8, 4),
+                                   (8, 5, 4)],
+                       "accept", dict(smiles="c1ccc2sccc2c1")),
+    # purine: one [nH] somewhere on the imidazole ring; 7H/9H (and the
+    # pyrimidine-N placements) are search-order dependent tautomers
+    "purine": ([6, 7, 6, 7, 6, 6, 7, 6, 7],
+               _ring(6) + [(4, 6, 4), (6, 7, 4), (7, 8, 4), (8, 5, 4)],
+               "accept", dict(nh=1)),
+    "n_methylpyrrole": ([7, 6, 6, 6, 6, 6], _ring(5) + [(0, 5, 1)],
+                        "accept", dict(smiles="Cn1cccc1", nh=0)),
+
+    # --- accepts that REQUIRE a cascade charge fix ------------------------
+    # tetravalent N: RDKit AtomValenceException "N, 4" -> fix_valence N+
+    "ammonium_N4": ([7, 6, 6, 6, 6],
+                    [(0, 1, 1), (0, 2, 1), (0, 3, 1), (0, 4, 1)],
+                    "accept", dict(smiles="C[N+](C)(C)C", charges=[1])),
+    # azide skeleton: center N explicit valence 4 -> N+ (HN=[N+]=NH after
+    # implicit-H fill)
+    "azide_center_N4": ([7, 7, 7], [(0, 1, 2), (1, 2, 2)],
+                        "accept", dict(smiles="N=[N+]=N", charges=[1])),
+    # N-substituted 6-ring aromatic N: kekulize fails (5 Cs need doubles,
+    # odd) until fix_aromatic sets the ring N to +1 (pyridinium)
+    "n_methylpyridinium": ([7] + [6] * 6, _ring(6) + [(0, 6, 1)],
+                           "accept",
+                           dict(smiles="C[n+]1ccccc1", charges=[1])),
+    # both imidazole Ns substituted: one must take +1 (imidazolium)
+    "dimethylimidazolium": ([7, 6, 7, 6, 6, 6, 6],
+                            _ring(5) + [(0, 5, 1), (2, 6, 1)],
+                            "accept",
+                            dict(smiles="Cn1cc[n+](C)c1", charges=[1])),
+    # bare aromatic S in a 6-ring: neutral S never takes a kekule double
+    # bond in RDKit; fix_aromatic's S-loop charges it -> thiopyrylium [s+]
+    "thiopyrylium": ([16] + [6] * 5, _ring(6),
+                     "accept", dict(smiles="c1cc[s+]cc1", charges=[1])),
+
+    # --- rejects -----------------------------------------------------------
+    # fix_valence matches ONLY the "N, 4" error: everything else is fatal
+    "pentavalent_N_nitro": ([7, 8, 8, 6], [(0, 1, 2), (0, 2, 2), (0, 3, 1)],
+                            "reject", {}),
+    "pentavalent_N_diimine": ([7, 6, 6, 6],
+                              [(0, 1, 2), (0, 2, 2), (0, 3, 1)],
+                              "reject", {}),
+    "trivalent_O": ([8, 6, 6, 6], [(0, 1, 1), (0, 2, 1), (0, 3, 1)],
+                    "reject", {}),
+    "divalent_F": ([9, 6, 6], [(0, 1, 1), (0, 2, 1)], "reject", {}),
+    "divalent_Cl": ([17, 6, 6], [(0, 1, 1), (0, 2, 1)], "reject", {}),
+    "pentavalent_C": ([6] * 6, [(0, i, 1) for i in range(1, 6)],
+                      "reject", {}),
+    "heptavalent_S": ([16, 8, 8, 8, 6],
+                      [(0, 1, 2), (0, 2, 2), (0, 3, 2), (0, 4, 1)],
+                      "reject", {}),
+    # RDKit rejects aromatic bonds outside rings
+    "acyclic_aromatic_bond": ([6, 6], [(0, 1, 4)], "reject", {}),
+    # pyrylium needs O+, which NO cascade step ever applies (fix_aromatic
+    # charges only N and S)
+    "pyrylium_bare_O": ([8] + [6] * 5, _ring(6), "reject", {}),
+    # 7-ring all-C aromatic (tropylium skeleton) needs C+, never applied
+    "tropylium_bare": ([6] * 7, _ring(7), "reject", {}),
+    # uncharged pyridine-N-oxide: N with 2 aromatic + exocyclic double = 5;
+    # even with the fix_aromatic N+ the 5 ring Cs stay odd -> unkekulizable
+    "pyridine_N_oxide_neutral": ([7] + [6] * 5 + [8],
+                                 _ring(6) + [(0, 6, 2)], "reject", {}),
+}
+
+
+def _build_arrays(els, bonds):
+    el = np.asarray(els)
+    pos = np.zeros((len(els), 3))
+    if bonds:
+        bi = np.array([[b[0] for b in bonds], [b[1] for b in bonds]])
+        bt = np.array([b[2] for b in bonds])
+    else:
+        bi = np.zeros((2, 0), dtype=int)
+        bt = np.zeros((0,), dtype=int)
+    return el, pos, bi, bt
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_sanitize_golden(name):
+    els, bonds, verdict, expected = CASES[name]
+    el, pos, bi, bt = _build_arrays(els, bonds)
+    if verdict == "reject":
+        with pytest.raises(MolError):
+            reconstruct_from_generated(el, pos, bi, bt)
+        return
+    mol = reconstruct_from_generated(el, pos, bi, bt)
+    got = mol_to_smiles(mol)
+    if "smiles" in expected:
+        want = mol_to_smiles(mol_from_smiles(expected["smiles"]))
+        assert got == want, f"{name}: {got} != canon({expected['smiles']})={want}"
+    if "smiles_any" in expected:
+        wants = {mol_to_smiles(mol_from_smiles(s))
+                 for s in expected["smiles_any"]}
+        assert got in wants, f"{name}: {got} not in {wants}"
+    if "charges" in expected:
+        assert sorted(a.charge for a in mol.atoms if a.charge) == \
+            expected["charges"], name
+    else:
+        assert all(a.charge == 0 for a in mol.atoms), name
+    if "nh" in expected:
+        assert got.count("[nH]") == expected["nh"], f"{name}: {got}"
+
+
+def test_case_count():
+    """The table must stay a substantive audit surface."""
+    assert len(CASES) >= 50
+    assert sum(1 for *_ , v, _e in CASES.values() if v == "reject") >= 10
