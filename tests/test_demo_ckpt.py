@@ -101,3 +101,30 @@ def test_demo_bondpred_ckpt_runs():
     assert logits.shape == (b, graph_ops.num_halfedges(n),
                             feat.num_bond_types + 1)
     assert bool(jnp.isfinite(logits).all())
+
+
+def test_demo_fast_config_respaced_chain(ckpt):
+    """Guards configs/sample/sample_demo_fast.yml (the advertised fast
+    respaced quickstart, ADVICE r2): the config must resolve against the
+    committed ckpt's T=200 and a short respaced chain must run through the
+    real model on CPU (num_steps from the config, tiny batch)."""
+    from moldiff_tpu.utils.config import load_config
+
+    scfg = load_config(os.path.join(REPO, "configs", "sample",
+                                    "sample_demo_fast.yml"))
+    assert scfg.model.checkpoint.endswith("demo_synthetic_30k.ckpt")
+    num_steps = scfg.sample.num_steps
+    cfg = Config(ckpt["config"])
+    T = cfg.model.diff.num_timesteps
+    assert 0 < num_steps < T, (num_steps, T)
+    assert T % num_steps == 0, "respacing must stride T evenly"
+
+    cfg.model.denoiser["remat"] = False
+    feat = featurizer_from_config(cfg)
+    model = MolDiff(cfg.model, num_node_types=feat.num_node_types,
+                    num_edge_types=feat.num_edge_types)
+    node_mask = jnp.ones((2, 8), jnp.float32).at[1, 6:].set(0.0)
+    res = model.sample(ckpt["params"], node_mask, jax.random.key(0),
+                       num_steps=num_steps)
+    for arr in (res.pred_node, res.pred_pos, res.pred_halfedge):
+        assert bool(jnp.isfinite(arr).all())
