@@ -48,8 +48,12 @@ REFERENCE_MOLS_PER_SEC = 0.5  # estimated PyTorch/A100 single-GPU throughput
 
 def bench_train(batch: int, n: int, remat_policy: str = "none"):
     """Secondary metric: train steps/sec at full model size (invoke as
-    `python bench.py train [batch] [n] [remat_policy]`; policies
-    none|dots|dots_no_batch|off select the activation-recompute strategy)."""
+    `python bench.py train [batch] [n] [policy]`; policy tokens are
+    comma-separated: none|dots|dots_no_batch|off select the
+    activation-recompute strategy; add `pallas` for the fused forward
+    NodeBlock kernel, `pallas_bwd` for the fused Pallas BACKWARD that
+    recomputes the pair chain in VMEM (ops/pallas_kernels.py,
+    docs/PERFORMANCE.md train-MFU analysis)."""
     import numpy as np
 
     from __graft_entry__ import _model_config
@@ -58,8 +62,16 @@ def bench_train(batch: int, n: int, remat_policy: str = "none"):
     from moldiff_tpu.train.trainer import Trainer
     from moldiff_tpu.utils.config import Config
 
+    tokens = [t for t in remat_policy.split(",") if t]
+    kernel_tokens = {t for t in tokens if t in ("pallas", "pallas_bwd")}
+    remat_tokens = [t for t in tokens if t not in kernel_tokens]
+    remat_policy = remat_tokens[0] if remat_tokens else "none"
+
     cfg = _model_config()
     cfg["denoiser"]["dtype"] = "bfloat16"
+    if kernel_tokens:
+        cfg["denoiser"]["use_pallas"] = True
+        cfg["denoiser"]["pallas_bwd"] = "pallas_bwd" in kernel_tokens
     if remat_policy == "off":
         cfg["denoiser"]["remat"] = False
     else:
@@ -103,6 +115,7 @@ def bench_train(batch: int, n: int, remat_policy: str = "none"):
         "metric": "train_steps_per_sec", "value": round(sps, 2),
         "unit": f"steps/sec (batch {batch})", "vs_baseline": None,
         "devices": jax.device_count(), "remat_policy": remat_policy,
+        "kernels": sorted(kernel_tokens) or ["xla"],
         **mfu(flops, 1.0 / sps),
     }))
 

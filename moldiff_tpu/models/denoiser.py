@@ -72,7 +72,8 @@ def init_node_block(key, node_dim, edge_dim, hidden_dim, use_gate, moe=None):
 
 
 def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False,
-               edge_pre: Optional[dict] = None, node_mask=None, moe_cfg=None):
+               edge_pre: Optional[dict] = None, node_mask=None, moe_cfg=None,
+               pallas_bwd: bool = False):
     """x: [B,N,Dn], edge_attr: [B,N,N,De], node_time: [B,1,1], pair_mask: [B,N,N].
 
     Reference graph.py:29-55. Row (receiver) = axis 1, col (sender) = axis 2.
@@ -99,9 +100,14 @@ def node_block(p, x, edge_attr, node_time, pair_mask, use_pallas: bool = False,
         assert not use_pallas, "MoE is exclusive with use_pallas"
         h_moe, moe_aux = moe_mlp(p["node_net"], x, node_mask, moe_cfg)
     if use_pallas and "gate" in p:
-        from ..ops.pallas_kernels import node_block_aggregate_tpu
+        from ..ops.pallas_kernels import (
+            node_block_aggregate_tpu,
+            node_block_aggregate_tpu_fused_bwd,
+        )
 
-        aggr = node_block_aggregate_tpu(
+        fn = (node_block_aggregate_tpu_fused_bwd if pallas_bwd
+              else node_block_aggregate_tpu)
+        aggr = fn(
             {k: p[k] for k in ("node_net", "edge_net", "msg_net", "gate")},
             x, edge_attr, node_time, pair_mask,
         )
@@ -347,6 +353,7 @@ def denoiser_static_config(
     remat: bool = True,
     remat_policy: str = "none",
     use_pallas: bool = False,
+    pallas_bwd: bool = False,
     fuse_block: bool = False,
     fuse_edge: bool = False,
     moe=None,
@@ -369,6 +376,10 @@ def denoiser_static_config(
         "remat": remat,
         "remat_policy": remat_policy,
         "use_pallas": use_pallas,
+        # with use_pallas: route gradients through the FUSED Pallas backward
+        # (ops/pallas_kernels.py:_node_block_bwd_kernel) instead of the
+        # XLA-recompute vjp — the pair chain recomputes in VMEM per molecule
+        "pallas_bwd": pallas_bwd,
         "fuse_block": fuse_block,
         "fuse_edge": fuse_edge,
         # optional mixture-of-experts node MLP (models/moe.py); None keeps
@@ -511,6 +522,7 @@ def apply_block(
         use_pallas=use_pallas and moe_cfg is None,
         edge_pre=node_pre,
         node_mask=node_mask, moe_cfg=moe_cfg,
+        pallas_bwd=static.get("pallas_bwd", False),
     )
     moe_aux = None
     if moe_cfg is not None:

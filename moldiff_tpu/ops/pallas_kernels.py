@@ -608,3 +608,319 @@ def _fb_bwd(res, g):
 
 
 fused_block_tpu.defvjp(_fb_fwd, _fb_bwd)
+
+
+# ===========================================================================
+# Fused Pallas BACKWARD for the NodeBlock aggregate chain (VERDICT r3 item)
+# ===========================================================================
+#
+# The train step is HBM-bound (docs/PERFORMANCE.md): under remat, XLA's
+# backward re-materializes ~10 [B,N,N,H] pair tensors per block in HBM.
+# This kernel recomputes the whole edge-MLP/gate/message chain for one
+# molecule per grid cell ENTIRELY in VMEM and emits input gradients plus
+# f32 parameter-gradient accumulators (the TPU grid is sequential, so
+# accumulation across cells into constant-index output blocks is sound).
+# HBM traffic per block becomes: read x/edge_attr/dout, write
+# dx/d_edge/param grads — no [N,N,H] intermediate ever leaves the chip.
+
+
+def _ln_fwd_stats(h, scale, bias, eps=1e-5):
+    """Mirror models/nn.layernorm: f32 stats; returns (y_f32, xhat, inv)."""
+    mean = jnp.mean(h, axis=-1, keepdims=True)
+    var = jnp.var(h, axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xhat = (h - mean) * inv
+    return xhat * scale + bias, xhat, inv
+
+
+def _ln_bwd(d_y, xhat, inv, scale):
+    """Backward of y = xhat*scale + bias given d_y (f32).
+
+    Returns (d_h, d_scale_rows, d_bias_rows) where the scale/bias grads are
+    still per-row (caller sums over rows into the [1,H] accumulator)."""
+    d_scale = d_y * xhat
+    d_xhat = d_y * scale
+    m1 = jnp.mean(d_xhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(d_xhat * xhat, axis=-1, keepdims=True)
+    d_h = inv * (d_xhat - m1 - xhat * m2)
+    return d_h, d_scale, d_y
+
+
+def _node_block_bwd_kernel(
+    x_ref, e_ref, mask_ref, t_ref, dout_ref,
+    we1_ref, be1_ref, se1_ref, be1n_ref, we2_ref, be2_ref,
+    wn1_ref, bn1_ref, sn1_ref, bn1n_ref, wn2_ref, bn2_ref,
+    wm_ref, bm_ref,
+    wg1_ref, bg1_ref, sg1_ref, bg1n_ref, wg2_ref, bg2_ref,
+    # per-cell outputs
+    dx_ref, de_ref, dt_ref, dmask_ref,
+    # f32 parameter-grad accumulators (constant index map; sequential grid)
+    dwe1_ref, dbe1_ref, dse1_ref, dbe1n_ref, dwe2_ref, dbe2_ref,
+    dwn1_ref, dbn1_ref, dsn1_ref, dbn1n_ref, dwn2_ref, dbn2_ref,
+    dwm_ref, dbm_ref,
+    dwg1_ref, dbg1_ref, dsg1_ref, dbg1n_ref, dwg2_ref, dbg2_ref,
+):
+    g_sz, n, dn = x_ref.shape
+    de_dim = e_ref.shape[-1]
+    dt = x_ref.dtype
+    x = x_ref[:].reshape(g_sz * n, dn)
+    e = e_ref[:].reshape(g_sz * n * n, de_dim)
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    # ---- forward recompute (mirrors _node_block_kernel; intermediates kept
+    # only in VMEM) ----------------------------------------------------------
+    h1 = dot(e, we1_ref[:]) + be1_ref[:]
+    ln_e, xhat_e, inv_e = _ln_fwd_stats(h1, se1_ref[:], be1n_ref[:])
+    r1 = jax.nn.relu(ln_e).astype(dt)
+    h = (dot(r1, we2_ref[:]) + be2_ref[:]).astype(dt)          # [GNN, H]
+
+    hn1 = dot(x, wn1_ref[:]) + bn1_ref[:]
+    ln_n, xhat_n, inv_n = _ln_fwd_stats(hn1, sn1_ref[:], bn1n_ref[:])
+    rn = jax.nn.relu(ln_n).astype(dt)
+    xn = (dot(rn, wn2_ref[:]) + bn2_ref[:]).astype(dt)         # [GN, H]
+
+    hdim = h.shape[-1]
+    hh = (h.reshape(g_sz, n, n, hdim)
+          * xn.reshape(g_sz, 1, n, hdim)).reshape(g_sz * n * n, hdim)
+    msg = (dot(hh, wm_ref[:]) + bm_ref[:]).astype(dt)
+
+    ge = dot(e, wg1_ref[:de_dim])
+    gx = dot(x, wg1_ref[de_dim:de_dim + dn])
+    tvals = t_ref[:, 0, :].astype(jnp.float32)                 # [G, 1]
+    gt_t = dot(tvals, wg1_ref[de_dim + dn:de_dim + dn + 1])    # [G, H]
+    g1 = (
+        ge.reshape(g_sz, n, n, hdim)
+        + gx.reshape(g_sz, 1, n, hdim)
+        + gt_t.reshape(g_sz, 1, 1, hdim)
+        + bg1_ref[:]
+    ).reshape(g_sz * n * n, hdim)
+    ln_g, xhat_g, inv_g = _ln_fwd_stats(g1, sg1_ref[:], bg1n_ref[:])
+    rg = jax.nn.relu(ln_g).astype(dt)
+    g2 = dot(rg, wg2_ref[:]) + bg2_ref[:]
+    sig = jax.nn.sigmoid(g2)                                    # f32 [GNN, H]
+
+    # ---- backward ----------------------------------------------------------
+    dout = dout_ref[:].astype(jnp.float32).reshape(g_sz, n, 1, hdim)
+    mask = mask_ref[:].reshape(g_sz, n, n, 1)
+    d_gated = (dout * mask).reshape(g_sz * n * n, hdim)        # [GNN, H]
+    msg_f = msg.astype(jnp.float32)
+    d_msg = d_gated * sig
+    d_sig = d_gated * msg_f
+    # d mask: sum_h dout * (msg * sig)
+    dmask_ref[:] = (
+        (dout * (msg_f * sig).reshape(g_sz, n, n, hdim)).sum(-1)
+    ).astype(dmask_ref.dtype)
+
+    # msg linear
+    hh_f = hh.astype(jnp.float32)
+    d_hh = dot(d_msg, wm_ref[:].T)
+    # bilinear
+    h_f = h.astype(jnp.float32).reshape(g_sz, n, n, hdim)
+    xn_f = xn.astype(jnp.float32).reshape(g_sz, 1, n, hdim)
+    d_hh4 = d_hh.reshape(g_sz, n, n, hdim)
+    d_h = (d_hh4 * xn_f).reshape(g_sz * n * n, hdim)
+    d_xn = (d_hh4 * h_f).sum(axis=1).reshape(g_sz * n, hdim)
+
+    # edge MLP backward
+    d_r1 = dot(d_h, we2_ref[:].T.astype(dt))
+    d_lne = d_r1 * (ln_e > 0)
+    d_h1, dse_rows, dbe_rows = _ln_bwd(d_lne, xhat_e, inv_e, se1_ref[:])
+    d_e_edge = dot(d_h1.astype(dt), we1_ref[:].T)
+
+    # node MLP backward
+    d_rn = dot(d_xn, wn2_ref[:].T.astype(dt))
+    d_lnn = d_rn * (ln_n > 0)
+    d_hn1, dsn_rows, dbn_rows = _ln_bwd(d_lnn, xhat_n, inv_n, sn1_ref[:])
+    d_x_node = dot(d_hn1.astype(dt), wn1_ref[:].T)
+
+    # gate backward
+    d_g2 = d_sig * sig * (1.0 - sig)
+    d_rg = dot(d_g2.astype(dt), wg2_ref[:].T.astype(dt))
+    d_lng = d_rg * (ln_g > 0)
+    d_g1, dsg_rows, dbg_rows = _ln_bwd(d_lng, xhat_g, inv_g, sg1_ref[:])
+    d_e_gate = dot(d_g1.astype(dt), wg1_ref[:de_dim].T)
+    s_sender = d_g1.reshape(g_sz, n, n, hdim).sum(axis=1)      # [G, N, H]
+    d_x_gate = dot(s_sender.reshape(g_sz * n, hdim).astype(dt),
+                   wg1_ref[de_dim:de_dim + dn].T)
+    d_g1_tot = d_g1.reshape(g_sz, n * n, hdim).sum(axis=1)     # [G, H]
+    dt_ref[:] = dot(d_g1_tot, wg1_ref[de_dim + dn:de_dim + dn + 1].T
+                    ).astype(dt_ref.dtype)
+
+    # per-cell input grads
+    dx_ref[:] = (d_x_node + d_x_gate).reshape(g_sz, n, dn).astype(dx_ref.dtype)
+    de_ref[:] = (d_e_edge + d_e_gate).reshape(g_sz, n * n, de_dim).astype(
+        de_ref.dtype)
+
+    # ---- parameter-grad accumulation (sequential grid) ---------------------
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in (dwe1_ref, dbe1_ref, dse1_ref, dbe1n_ref, dwe2_ref,
+                    dbe2_ref, dwn1_ref, dbn1_ref, dsn1_ref, dbn1n_ref,
+                    dwn2_ref, dbn2_ref, dwm_ref, dbm_ref, dwg1_ref,
+                    dbg1_ref, dsg1_ref, dbg1n_ref, dwg2_ref, dbg2_ref):
+            ref[:] = jnp.zeros_like(ref)
+
+    rsum = lambda a: a.sum(axis=0, keepdims=True)
+    e_f = e.astype(jnp.float32)
+    x_f = x.astype(jnp.float32)
+    r1_f = r1.astype(jnp.float32)
+    rn_f = rn.astype(jnp.float32)
+    rg_f = rg.astype(jnp.float32)
+    dwe1_ref[:] += dot(e_f.T, d_h1)
+    dbe1_ref[:] += rsum(d_h1)
+    dse1_ref[:] += rsum(dse_rows)
+    dbe1n_ref[:] += rsum(dbe_rows)
+    dwe2_ref[:] += dot(r1_f.T, d_h)
+    dbe2_ref[:] += rsum(d_h)
+    dwn1_ref[:] += dot(x_f.T, d_hn1)
+    dbn1_ref[:] += rsum(d_hn1)
+    dsn1_ref[:] += rsum(dsn_rows)
+    dbn1n_ref[:] += rsum(dbn_rows)
+    dwn2_ref[:] += dot(rn_f.T, d_xn)
+    dbn2_ref[:] += rsum(d_xn)
+    dwm_ref[:] += dot(hh_f.T, d_msg)
+    dbm_ref[:] += rsum(d_msg)
+    # gate first-layer weight rows: [e | x_sender | t]
+    dwg1_e = dot(e_f.T, d_g1)
+    dwg1_x = dot(x_f.T, s_sender.reshape(g_sz * n, hdim))
+    dwg1_t = dot(tvals.T, d_g1_tot)                            # [1, H]
+    dwg1_ref[:de_dim] += dwg1_e
+    dwg1_ref[de_dim:de_dim + dn] += dwg1_x
+    dwg1_ref[de_dim + dn:de_dim + dn + 1] += dwg1_t
+    dbg1_ref[:] += rsum(d_g1)
+    dsg1_ref[:] += rsum(dsg_rows)
+    dbg1n_ref[:] += rsum(dbg_rows)
+    dwg2_ref[:] += dot(rg_f.T, d_g2)
+    dbg2_ref[:] += rsum(d_g2)
+
+
+def _pallas_node_block_bwd(params, x, edge_attr, node_time, pair_mask, dout,
+                           interpret=False, group: int = 1):
+    """Run the fused backward kernel; returns cotangents matching the
+    primal signature (params, x, edge_attr, node_time, pair_mask)."""
+    b, n, dn = x.shape
+    de = edge_attr.shape[-1]
+    h = params["msg_net"]["w"].shape[0]
+    dt = x.dtype
+    while b % group:
+        group //= 2
+    g_sz = max(group, 1)
+
+    e_flat = edge_attr.reshape(b, n * n, de)
+    tcol = jnp.broadcast_to(
+        node_time.reshape(-1, 1, 1).astype(jnp.float32), (b, n * n, 1)
+    )
+    mask = pair_mask.astype(jnp.float32)
+
+    pe = params["edge_net"]["layers"]
+    pn = params["node_net"]["layers"]
+    pg = params["gate"]["layers"]
+    cast = lambda w: w.astype(dt)
+    f32 = lambda w: w.astype(jnp.float32)
+    weights = [
+        cast(pe[0]["lin"]["w"]), f32(_prep(pe[0]["lin"]["b"])),
+        f32(_prep(pe[0]["ln"]["scale"])), f32(_prep(pe[0]["ln"]["bias"])),
+        cast(pe[1]["lin"]["w"]), f32(_prep(pe[1]["lin"]["b"])),
+        cast(pn[0]["lin"]["w"]), f32(_prep(pn[0]["lin"]["b"])),
+        f32(_prep(pn[0]["ln"]["scale"])), f32(_prep(pn[0]["ln"]["bias"])),
+        cast(pn[1]["lin"]["w"]), f32(_prep(pn[1]["lin"]["b"])),
+        cast(params["msg_net"]["w"]), f32(_prep(params["msg_net"]["b"])),
+        cast(pg[0]["lin"]["w"]), f32(_prep(pg[0]["lin"]["b"])),
+        f32(_prep(pg[0]["ln"]["scale"])), f32(_prep(pg[0]["ln"]["bias"])),
+        cast(pg[1]["lin"]["w"]), f32(_prep(pg[1]["lin"]["b"])),
+    ]
+
+    grid = (b // g_sz,)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+    )
+    cell = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        cell((g_sz, n, dn)), cell((g_sz, n * n, de)), cell((g_sz, n, n)),
+        cell((g_sz, n * n, 1)), cell((g_sz, n, h)),
+    ] + [const(w.shape) for w in weights]
+
+    f32s = jnp.float32
+    acc_shapes = [
+        (de, h), (1, h), (1, h), (1, h), (h, h), (1, h),      # edge mlp
+        (dn, h), (1, h), (1, h), (1, h), (h, h), (1, h),      # node mlp
+        (h, h), (1, h),                                        # msg linear
+        (de + dn + 1, h), (1, h), (1, h), (1, h), (h, h), (1, h),  # gate
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, dn), dt),        # dx
+        jax.ShapeDtypeStruct((b, n * n, de), dt),    # d_edge
+        jax.ShapeDtypeStruct((b, 1), f32s),          # d_t
+        jax.ShapeDtypeStruct((b, n, n), f32s),       # d_mask
+    ] + [jax.ShapeDtypeStruct(s, f32s) for s in acc_shapes]
+    out_specs = [
+        cell((g_sz, n, dn)), cell((g_sz, n * n, de)), cell((g_sz, 1)),
+        cell((g_sz, n, n)),
+    ] + [const(s) for s in acc_shapes]
+
+    outs = pl.pallas_call(
+        _node_block_bwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(x, e_flat, mask, tcol, dout, *weights)
+
+    dx, d_edge, d_t, d_mask = outs[:4]
+    (dwe1, dbe1, dse1, dbe1n, dwe2, dbe2,
+     dwn1, dbn1, dsn1, dbn1n, dwn2, dbn2,
+     dwm, dbm,
+     dwg1, dbg1, dsg1, dbg1n, dwg2, dbg2) = outs[4:]
+
+    row = lambda a: a.reshape(-1)
+    d_params = {
+        "edge_net": {"layers": [
+            {"lin": {"w": dwe1, "b": row(dbe1)},
+             "ln": {"scale": row(dse1), "bias": row(dbe1n)}},
+            {"lin": {"w": dwe2, "b": row(dbe2)}},
+        ]},
+        "node_net": {"layers": [
+            {"lin": {"w": dwn1, "b": row(dbn1)},
+             "ln": {"scale": row(dsn1), "bias": row(dbn1n)}},
+            {"lin": {"w": dwn2, "b": row(dbn2)}},
+        ]},
+        "msg_net": {"w": dwm, "b": row(dbm)},
+        "gate": {"layers": [
+            {"lin": {"w": dwg1, "b": row(dbg1)},
+             "ln": {"scale": row(dsg1), "bias": row(dbg1n)}},
+            {"lin": {"w": dwg2, "b": row(dbg2)}},
+        ]},
+    }
+    d_node_time = d_t.reshape(node_time.shape).astype(node_time.dtype)
+    d_pair_mask = d_mask.astype(pair_mask.dtype)
+    return (d_params, dx, d_edge.reshape(edge_attr.shape), d_node_time,
+            d_pair_mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def node_block_aggregate_tpu_fused_bwd(params, x, edge_attr, node_time,
+                                       pair_mask):
+    """Same forward as node_block_aggregate_tpu but with the FUSED Pallas
+    backward: the VJP recomputes the pair chain in VMEM per molecule tile
+    instead of letting XLA stream saved/remat [B,N,N,H] activations through
+    HBM (docs/PERFORMANCE.md train-MFU analysis)."""
+    return _pallas_node_block_aggregate(params, x, edge_attr, node_time,
+                                        pair_mask)
+
+
+def _fused_fwd(params, x, edge_attr, node_time, pair_mask):
+    out = node_block_aggregate_tpu_fused_bwd(params, x, edge_attr, node_time,
+                                             pair_mask)
+    return out, (params, x, edge_attr, node_time, pair_mask)
+
+
+def _fused_bwd(res, g):
+    params, x, edge_attr, node_time, pair_mask = res
+    return _pallas_node_block_bwd(params, x, edge_attr, node_time, pair_mask,
+                                  g)
+
+
+node_block_aggregate_tpu_fused_bwd.defvjp(_fused_fwd, _fused_bwd)

@@ -119,3 +119,53 @@ class TestFusedBlock:
         s = denoiser_static_config(num_blocks=1, cutoff=10, use_gate=True,
                                    fuse_block=True)
         assert s["fuse_block"] is True
+
+
+class TestFusedBackward:
+    """The fused Pallas backward (VERDICT r3: recompute the pair chain in
+    VMEM instead of streaming saved [B,N,N,H] activations) must produce the
+    SAME cotangents as the direct XLA vjp — params tree, dx, d_edge,
+    d_node_time, d_pair_mask."""
+
+    @staticmethod
+    def _agg_params(params):
+        # the call site (models/denoiser.py node_block) passes exactly the
+        # four subtrees the aggregate chain consumes
+        return {k: params[k] for k in ("node_net", "edge_net", "msg_net",
+                                       "gate")}
+
+    def test_bwd_matches_xla_vjp(self, setup):
+        from moldiff_tpu.ops.pallas_kernels import _pallas_node_block_bwd
+
+        params, x, e, t, mask = setup
+        p = self._agg_params(params)
+        out, vjp = jax.vjp(_xla_node_block_aggregate, p, x, e, t, mask)
+        key = jax.random.key(42)
+        g = jax.random.normal(key, out.shape, out.dtype)
+        want = vjp(g)
+        got = _pallas_node_block_bwd(p, x, e, t, mask, g, interpret=True)
+        # identical tree structure (custom_vjp contract)
+        assert jax.tree.structure(want) == jax.tree.structure(got)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(want)[0],
+                jax.tree_util.tree_flatten_with_path(got)[0]):
+            assert pa == pb
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=str(pa))
+
+    def test_grad_scaled_cotangent(self, setup):
+        """Backward with a non-trivial cotangent (2*out, i.e. d/dx of
+        sum(out^2)) — catches scale bugs the all-ones cotangent would
+        miss."""
+        from moldiff_tpu.ops import pallas_kernels as pk
+
+        params, x, e, t, mask = setup
+        p = self._agg_params(params)
+        out, vjp = jax.vjp(_xla_node_block_aggregate, p, x, e, t, mask)
+        g = 2.0 * out
+        want = vjp(g)
+        got = pk._pallas_node_block_bwd(p, x, e, t, mask, g, interpret=True)
+        for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-4)
