@@ -8,10 +8,13 @@ the whole chain for one molecule per grid cell with every intermediate
 resident in VMEM ([N*N, H] at N=32, H=256 is 512 KB bf16), writing only the
 [N, H] aggregated output.
 
-Forward-only: training and CPU paths use the XLA implementation (the
-kernel wires in through `node_block_aggregate`, which falls back outside
-TPU); gradients flow through a custom_vjp whose backward recomputes via the
-XLA reference implementation.
+CPU paths use the XLA implementation (the kernel wires in through
+`node_block_aggregate`, which falls back outside TPU). Gradients flow
+through a custom_vjp: by default the backward recomputes via the XLA
+reference implementation; with the denoiser's `pallas_bwd` knob the FUSED
+Pallas backward (`node_block_aggregate_tpu_fused_bwd`) recomputes the pair
+chain in VMEM per molecule tile instead — no [N,N,H] intermediate touches
+HBM in either direction (docs/PERFORMANCE.md train-MFU analysis).
 """
 from __future__ import annotations
 
@@ -28,6 +31,11 @@ try:  # pallas import is TPU/CPU-interpret safe
     HAS_PALLAS = True
 except Exception:  # pragma: no cover
     HAS_PALLAS = False
+
+# Global interpreter switch: tests set this True (monkeypatch) to run every
+# kernel through the Pallas interpreter on CPU, which lets the FULL denoiser
+# use_pallas/pallas_bwd paths be integration-tested off-TPU.
+INTERPRET = False
 
 
 def _ln(x, scale, bias, eps=1e-5):
@@ -187,7 +195,7 @@ def _pallas_node_block_aggregate(params, x, edge_attr, node_time, pair_mask,
         out_specs=pl.BlockSpec((g_sz, n, h), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, h), dt),
-        interpret=interpret,
+        interpret=interpret or INTERPRET,
     )(x, e_flat, mask, tcol, *weights)
     return out
 
@@ -579,10 +587,10 @@ def _pallas_fused_block(blk, h_node, h_edge, h_dist, rel_vec, distance,
         # ~17 MB at B=128 and a fresh output allocation OOMs VMEM when XLA
         # stages the custom-call result on-stack inside the scan
         input_output_aliases={0: 0, 1: 1},
-        compiler_params=None if interpret else pltpu.CompilerParams(
+        compiler_params=None if (interpret or INTERPRET) else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
-        interpret=interpret,
+        interpret=interpret or INTERPRET,
     )(h_node, e_flat, hd_flat, rel, dist, mask, tcol, *weights)
     return h_node_new, h_edge_new.reshape(b, n, n, de), pos_delta
 
@@ -866,7 +874,7 @@ def _pallas_node_block_bwd(params, x, edge_attr, node_time, pair_mask, dout,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        interpret=interpret,
+        interpret=interpret or INTERPRET,
     )(x, e_flat, mask, tcol, dout, *weights)
 
     dx, d_edge, d_t, d_mask = outs[:4]

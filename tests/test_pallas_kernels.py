@@ -169,3 +169,53 @@ class TestFusedBackward:
         for a, b in zip(jax.tree.leaves(want), jax.tree.leaves(got)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-4, atol=2e-4)
+
+
+class TestPallasBwdIntegration:
+    """END-TO-END check of the training path on CPU via the Pallas
+    interpreter: grad of a scalar loss through the FULL denoiser with
+    use_pallas + pallas_bwd (the exact static config TPU training uses,
+    including per-block jax.checkpoint) must match the plain XLA path."""
+
+    def _grad(self, static_kwargs, monkeypatch):
+        from moldiff_tpu.models.denoiser import (
+            denoiser_static_config,
+            init_node_edge_net,
+            node_edge_net,
+        )
+        from moldiff_tpu.ops import pallas_kernels as pk
+
+        monkeypatch.setattr(pk, "INTERPRET", True)
+        key = jax.random.key(1)
+        params, _ = init_node_edge_net(key, 32, 16, num_blocks=2, cutoff=10,
+                                       use_gate=True)
+        static = denoiser_static_config(num_blocks=2, cutoff=10,
+                                        use_gate=True, **static_kwargs)
+        b, n = 2, 8
+        ks = jax.random.split(key, 5)
+        h_node = jax.random.normal(ks[0], (b, n, 32))
+        pos = jax.random.normal(ks[1], (b, n, 3))
+        h_edge = jax.random.normal(ks[2], (b, n, n, 16))
+        t = jax.random.uniform(ks[3], (b, 1, 1))
+        mask = (jax.random.uniform(ks[4], (b, n, n)) > 0.3).astype(jnp.float32)
+        mask = mask * (1 - np.eye(n))[None]
+
+        def loss(p):
+            hn, pn, he = node_edge_net(p, static, h_node, pos, h_edge,
+                                       t, t, mask)
+            return (jnp.sum(hn ** 2) + jnp.sum(pn ** 2)
+                    + jnp.sum(he ** 2))
+
+        return jax.grad(loss)(params)
+
+    def test_grad_matches_xla_path(self, monkeypatch):
+        want = self._grad({}, monkeypatch)
+        got = self._grad({"use_pallas": True, "pallas_bwd": True},
+                         monkeypatch)
+        assert jax.tree.structure(want) == jax.tree.structure(got)
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(want)[0],
+                jax.tree_util.tree_flatten_with_path(got)[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+                err_msg=str(pa))
