@@ -902,6 +902,11 @@ def _pallas_node_block_bwd(params, x, edge_attr, node_time, pair_mask, dout,
             {"lin": {"w": dwg2, "b": row(dbg2)}},
         ]},
     }
+    # custom_vjp contract: cotangent dtypes must match the primals. The
+    # kernel accumulates param grads in f32 (more accurate than XLA's
+    # native-dtype accumulation); cast down only at the boundary.
+    d_params = jax.tree.map(lambda g, prm: g.astype(prm.dtype),
+                            d_params, params)
     d_node_time = d_t.reshape(node_time.shape).astype(node_time.dtype)
     d_pair_mask = d_mask.astype(pair_mask.dtype)
     return (d_params, dx, d_edge.reshape(edge_attr.shape), d_node_time,

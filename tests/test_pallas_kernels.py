@@ -171,6 +171,47 @@ class TestFusedBackward:
                                        rtol=2e-4, atol=2e-4)
 
 
+    def test_bf16_dtype_contract_and_accuracy(self, setup):
+        """bf16 primals (the training compute dtype): cotangents must come
+        back in the PRIMAL dtypes (custom_vjp contract — param grads
+        accumulate in f32 inside the kernel and cast at the boundary), and
+        must be at least as close to the f32 ground truth as XLA's own
+        bf16 vjp (whose native-dtype accumulation is the noisier one)."""
+        from moldiff_tpu.ops.pallas_kernels import _pallas_node_block_bwd
+
+        params, x, e, t, mask = setup
+        p32 = self._agg_params(params)
+        bf = lambda tree: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, tree)
+        p16, x16, e16 = bf(p32), x.astype(jnp.bfloat16), e.astype(jnp.bfloat16)
+
+        out32, vjp32 = jax.vjp(_xla_node_block_aggregate, p32, x, e, t, mask)
+        g32 = 2.0 * out32
+        truth = vjp32(g32)
+
+        out16, vjp16 = jax.vjp(_xla_node_block_aggregate, p16, x16, e16,
+                               t, mask)
+        g16 = g32.astype(out16.dtype)
+        xla16 = vjp16(g16)
+        pl16 = _pallas_node_block_bwd(p16, x16, e16, t, mask, g16,
+                                      interpret=True)
+
+        for (path, ref), (_, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(truth)[0],
+                jax.tree_util.tree_flatten_with_path(xla16)[0],
+                jax.tree_util.tree_flatten_with_path(pl16)[0]):
+            assert a.dtype == b.dtype, (path, a.dtype, b.dtype)
+            ref = np.asarray(ref, np.float32)
+            scale = np.abs(ref).max() + 1e-9
+            err_xla = np.abs(np.asarray(a, np.float32) - ref).max() / scale
+            err_pl = np.abs(np.asarray(b, np.float32) - ref).max() / scale
+            # 2x headroom: different-but-equally-valid rounding orders
+            # (both paths sit at ~0.3-0.5% relative, pure bf16 noise)
+            assert err_pl <= max(err_xla * 2.0, 1e-3), (
+                str(path), float(err_pl), float(err_xla))
+
+
 class TestPallasBwdIntegration:
     """END-TO-END check of the training path on CPU via the Pallas
     interpreter: grad of a scalar loss through the FULL denoiser with
