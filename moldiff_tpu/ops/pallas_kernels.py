@@ -666,7 +666,8 @@ def _node_block_bwd_kernel(
     dwe1_ref, dbe1_ref, dse1_ref, dbe1n_ref, dwe2_ref, dbe2_ref,
     dwn1_ref, dbn1_ref, dsn1_ref, dbn1n_ref, dwn2_ref, dbn2_ref,
     dwm_ref, dbm_ref,
-    dwg1_ref, dbg1_ref, dsg1_ref, dbg1n_ref, dwg2_ref, dbg2_ref,
+    dwg1e_ref, dwg1x_ref, dwg1t_ref,
+    dbg1_ref, dsg1_ref, dbg1n_ref, dwg2_ref, dbg2_ref,
 ):
     g_sz, n, dn = x_ref.shape
     de_dim = e_ref.shape[-1]
@@ -751,8 +752,10 @@ def _node_block_bwd_kernel(
     d_x_gate = dot(s_sender.reshape(g_sz * n, hdim).astype(dt),
                    wg1_ref[de_dim:de_dim + dn].T)
     d_g1_tot = d_g1.reshape(g_sz, n * n, hdim).sum(axis=1)     # [G, H]
+    # dt_ref is [G,1,1]: rank-3 so the Mosaic block (G,1,1) has its last
+    # two dims equal to the full array dims (the (8,128) tiling rule).
     dt_ref[:] = dot(d_g1_tot, wg1_ref[de_dim + dn:de_dim + dn + 1].T
-                    ).astype(dt_ref.dtype)
+                    ).reshape(g_sz, 1, 1).astype(dt_ref.dtype)
 
     # per-cell input grads
     dx_ref[:] = (d_x_node + d_x_gate).reshape(g_sz, n, dn).astype(dx_ref.dtype)
@@ -764,7 +767,8 @@ def _node_block_bwd_kernel(
     def _init():
         for ref in (dwe1_ref, dbe1_ref, dse1_ref, dbe1n_ref, dwe2_ref,
                     dbe2_ref, dwn1_ref, dbn1_ref, dsn1_ref, dbn1n_ref,
-                    dwn2_ref, dbn2_ref, dwm_ref, dbm_ref, dwg1_ref,
+                    dwn2_ref, dbn2_ref, dwm_ref, dbm_ref,
+                    dwg1e_ref, dwg1x_ref, dwg1t_ref,
                     dbg1_ref, dsg1_ref, dbg1n_ref, dwg2_ref, dbg2_ref):
             ref[:] = jnp.zeros_like(ref)
 
@@ -788,13 +792,12 @@ def _node_block_bwd_kernel(
     dbn2_ref[:] += rsum(d_xn)
     dwm_ref[:] += dot(hh_f.T, d_msg)
     dbm_ref[:] += rsum(d_msg)
-    # gate first-layer weight rows: [e | x_sender | t]
-    dwg1_e = dot(e_f.T, d_g1)
-    dwg1_x = dot(x_f.T, s_sender.reshape(g_sz * n, hdim))
-    dwg1_t = dot(tvals.T, d_g1_tot)                            # [1, H]
-    dwg1_ref[:de_dim] += dwg1_e
-    dwg1_ref[de_dim:de_dim + dn] += dwg1_x
-    dwg1_ref[de_dim + dn:de_dim + dn + 1] += dwg1_t
+    # gate first-layer weight rows, [e | x_sender | t], as THREE separate
+    # accumulators (concatenated by the caller): sliced `+=` stores into a
+    # VMEM ref at non-tile-aligned row offsets don't lower on Mosaic.
+    dwg1e_ref[:] += dot(e_f.T, d_g1)
+    dwg1x_ref[:] += dot(x_f.T, s_sender.reshape(g_sz * n, hdim))
+    dwg1t_ref[:] += dot(tvals.T, d_g1_tot)                     # [1, H]
     dbg1_ref[:] += rsum(d_g1)
     dsg1_ref[:] += rsum(dsg_rows)
     dbg1n_ref[:] += rsum(dbg_rows)
@@ -855,16 +858,20 @@ def _pallas_node_block_bwd(params, x, edge_attr, node_time, pair_mask, dout,
         (de, h), (1, h), (1, h), (1, h), (h, h), (1, h),      # edge mlp
         (dn, h), (1, h), (1, h), (1, h), (h, h), (1, h),      # node mlp
         (h, h), (1, h),                                        # msg linear
-        (de + dn + 1, h), (1, h), (1, h), (1, h), (h, h), (1, h),  # gate
+        # gate first-layer weight rows [e | x_sender | t] as three separate
+        # accumulators (sliced VMEM `+=` at non-tile-aligned row offsets
+        # doesn't lower on Mosaic) — concatenated back below.
+        (de, h), (dn, h), (1, h),
+        (1, h), (1, h), (1, h), (h, h), (1, h),                # gate rest
     ]
     out_shape = [
         jax.ShapeDtypeStruct((b, n, dn), dt),        # dx
         jax.ShapeDtypeStruct((b, n * n, de), dt),    # d_edge
-        jax.ShapeDtypeStruct((b, 1), f32s),          # d_t
+        jax.ShapeDtypeStruct((b, 1, 1), f32s),       # d_t (rank-3: tiling)
         jax.ShapeDtypeStruct((b, n, n), f32s),       # d_mask
     ] + [jax.ShapeDtypeStruct(s, f32s) for s in acc_shapes]
     out_specs = [
-        cell((g_sz, n, dn)), cell((g_sz, n * n, de)), cell((g_sz, 1)),
+        cell((g_sz, n, dn)), cell((g_sz, n * n, de)), cell((g_sz, 1, 1)),
         cell((g_sz, n, n)),
     ] + [const(s) for s in acc_shapes]
 
@@ -875,13 +882,20 @@ def _pallas_node_block_bwd(params, x, edge_attr, node_time, pair_mask, dout,
         out_specs=out_specs,
         out_shape=out_shape,
         interpret=interpret or INTERPRET,
+        # The recomputed chain holds ~a dozen [N*N,H] f32 intermediates
+        # live at once (~17.2 MB at N=32, H=256) — above Mosaic's default
+        # 16 MB scoped-VMEM limit under some surrounding remat layouts.
+        # v5e has 128 MB VMEM/core; raise the per-kernel cap explicitly.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
     )(x, e_flat, mask, tcol, dout, *weights)
 
     dx, d_edge, d_t, d_mask = outs[:4]
     (dwe1, dbe1, dse1, dbe1n, dwe2, dbe2,
      dwn1, dbn1, dsn1, dbn1n, dwn2, dbn2,
      dwm, dbm,
-     dwg1, dbg1, dsg1, dbg1n, dwg2, dbg2) = outs[4:]
+     dwg1e, dwg1x, dwg1t, dbg1, dsg1, dbg1n, dwg2, dbg2) = outs[4:]
+    dwg1 = jnp.concatenate([dwg1e, dwg1x, dwg1t], axis=0)
 
     row = lambda a: a.reshape(-1)
     d_params = {
