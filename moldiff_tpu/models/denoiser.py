@@ -210,7 +210,7 @@ def init_edge_block(key, edge_dim, node_dim, use_gate):
 
 
 def edge_block(p, h_bond, h_node, bond_time, pair_mask,
-               edge_pre: Optional[dict] = None):
+               edge_pre: Optional[dict] = None, pallas_bwd: bool = False):
     """h_bond: [B,N,N,De] directed edge (i<-j is [b,i,j]); h_node: [B,N,Dn].
 
     Reference graph.py:268-295: edge<->edge interaction through shared
@@ -230,17 +230,29 @@ def edge_block(p, h_bond, h_node, bond_time, pair_mask,
     h_right = h_node[:, None, :, :]  # node at right/col index j
     pre = edge_pre or {}
 
-    msg_left = bond_ffn(p["bond_ffn_left"], h_bond, h_left, bond_time,
-                        bond_pre=pre.get("bond_left"),
-                        gate_pre=pre.get("gate_left")) * mask
-    t_per_node = jnp.sum(msg_left, axis=1, dtype=jnp.float32).astype(dt)
-    msg_left_out = t_per_node[:, :, None, :]               # gather back by left index
+    if pallas_bwd and "gate" in p["bond_ffn_left"] and edge_pre is None:
+        # fused Pallas forward+backward for both chains + reductions —
+        # no [B,N,N,2De] intermediate touches HBM in either direction
+        # (ops/pallas_kernels.py, docs/PERFORMANCE.md train-MFU analysis)
+        from ..ops.pallas_kernels import edge_pair_aggregate_tpu_fused_bwd
 
-    msg_right = bond_ffn(p["bond_ffn_right"], h_bond, h_right, bond_time,
-                         bond_pre=pre.get("bond_right"),
-                         gate_pre=pre.get("gate_right")) * mask
-    u_per_node = jnp.sum(msg_right, axis=2, dtype=jnp.float32).astype(dt)
-    msg_right_out = u_per_node[:, None, :, :]              # gather back by right index
+        t_per_node, u_per_node = edge_pair_aggregate_tpu_fused_bwd(
+            {"left": p["bond_ffn_left"], "right": p["bond_ffn_right"]},
+            h_bond, h_node, bond_time, pair_mask)
+        msg_left_out = t_per_node[:, :, None, :]
+        msg_right_out = u_per_node[:, None, :, :]
+    else:
+        msg_left = bond_ffn(p["bond_ffn_left"], h_bond, h_left, bond_time,
+                            bond_pre=pre.get("bond_left"),
+                            gate_pre=pre.get("gate_left")) * mask
+        t_per_node = jnp.sum(msg_left, axis=1, dtype=jnp.float32).astype(dt)
+        msg_left_out = t_per_node[:, :, None, :]           # gather back by left index
+
+        msg_right = bond_ffn(p["bond_ffn_right"], h_bond, h_right, bond_time,
+                             bond_pre=pre.get("bond_right"),
+                             gate_pre=pre.get("gate_right")) * mask
+        u_per_node = jnp.sum(msg_right, axis=2, dtype=jnp.float32).astype(dt)
+        msg_right_out = u_per_node[:, None, :, :]          # gather back by right index
 
     if "self_ffn" in pre:
         self_term = pre["self_ffn"] + p["self_ffn"]["b"]
@@ -307,7 +319,7 @@ def init_pos_update(key, node_dim, edge_dim, hidden_dim, use_gate):
 
 
 def pos_update(p, h_node, h_edge, rel_vec, distance, edge_time, pair_mask,
-               fuse_edge: bool = False):
+               fuse_edge: bool = False, pallas_bwd: bool = False):
     """E(3)-equivariant position delta (reference graph.py:384-396).
 
     rel_vec[b,i,j] = pos[i] - pos[j]; per-edge scalar weight * unit-ish vector,
@@ -315,6 +327,14 @@ def pos_update(p, h_node, h_edge, rel_vec, distance, edge_time, pair_mask,
     bond_linear and gate first-layer products of ``h_edge`` run as one
     concatenated-weight matmul (one read of the [B,N,N,De] tensor).
     """
+    if pallas_bwd and "gate" in p["edge_lin"] and not fuse_edge:
+        # fused Pallas forward+backward: node MLPs, pairwise product, gated
+        # BondFFN (interior width Dn — the widest pair chain) and the f32
+        # force reduction all stay in VMEM (ops/pallas_kernels.py).
+        from ..ops.pallas_kernels import pos_update_tpu_fused_bwd
+
+        return pos_update_tpu_fused_bwd(p, h_node, h_edge, rel_vec,
+                                        distance, edge_time, pair_mask)
     left_feat = mlp(p["left_lin_edge"], h_node)[:, :, None, :]
     right_feat = mlp(p["right_lin_edge"], h_node)[:, None, :, :]
     el = p["edge_lin"]
@@ -531,6 +551,7 @@ def apply_block(
         h_edge_i = h_edge_i + edge_block(
             blk["edge_block"], h_edge_i, h_node, edge_time, pair_mask,
             edge_pre=pre if fuse_edge else None,
+            pallas_bwd=use_pallas and static.get("pallas_bwd", False),
         )
     h_node = h_node + h_node_delta
     if update_pos:
@@ -538,6 +559,7 @@ def apply_block(
             blk["pos_block"], h_node, h_edge_i, rel_vec, distance,
             edge_time, pair_mask,
             fuse_edge=fuse_edge,
+            pallas_bwd=use_pallas and static.get("pallas_bwd", False),
         )
     if moe_cfg is not None:
         return h_node, pos_node, h_edge_i, moe_aux

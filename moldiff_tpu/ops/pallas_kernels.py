@@ -951,3 +951,885 @@ def _fused_bwd(res, g):
 
 
 node_block_aggregate_tpu_fused_bwd.defvjp(_fused_fwd, _fused_bwd)
+
+
+# ===========================================================================
+# Fused Pallas kernels for the EdgeBlock dual-BondFFN pair aggregate
+# ===========================================================================
+#
+# The EdgeBlock (reference graph.py:268-295; models/denoiser.py edge_block)
+# runs TWO gated BondFFN chains over the [B,N,N,De] edge tensor at an
+# interior width of 2*De and reduces each through a shared endpoint:
+#   msg_left  = BondFFN_L(h_bond, h_node[row]);  t[k] = sum_rows msg_left
+#   msg_right = BondFFN_R(h_bond, h_node[col]);  u[k] = sum_cols msg_right
+# Under XLA those chains stream ~8 [B,N,N,2De] pair tensors per block
+# through HBM in the backward (the train step's remaining HBM-bound region
+# after the NodeBlock fusion — docs/PERFORMANCE.md). These kernels compute
+# both chains per molecule group entirely in VMEM: the forward writes only
+# the two [B,N,De] endpoint reductions; the backward recomputes the chains
+# and emits input grads plus f32 parameter-grad accumulators, exactly like
+# the NodeBlock kernels above.
+
+
+def _xla_edge_pair_aggregate(params, h_bond, h_node, bond_time, pair_mask):
+    """Reference XLA implementation (must exactly match the two BondFFN
+    chains + endpoint reductions in models/denoiser.py edge_block; used as
+    CPU fallback and as the parity target). ``params`` = {'left': bond_ffn
+    params, 'right': bond_ffn params} (gated variant)."""
+    from ..models.denoiser import bond_ffn
+
+    dt = h_bond.dtype
+    mask = pair_mask.astype(dt)[..., None]
+    msg_left = bond_ffn(params["left"], h_bond,
+                        h_node[:, :, None, :], bond_time) * mask
+    t_per_node = jnp.sum(msg_left, axis=1, dtype=jnp.float32).astype(dt)
+    msg_right = bond_ffn(params["right"], h_bond,
+                         h_node[:, None, :, :], bond_time) * mask
+    u_per_node = jnp.sum(msg_right, axis=2, dtype=jnp.float32).astype(dt)
+    return t_per_node, u_per_node
+
+
+def _edge_side_weights(p, dt):
+    """Flatten one BondFFN's params into the kernel operand list (14)."""
+    cast = lambda w: w.astype(dt)
+    f32 = lambda w: w.astype(jnp.float32)
+    pi = p["inter"]["layers"]
+    pg = p["gate"]["layers"]
+    return [
+        cast(p["bond_linear"]["w"]), cast(p["node_linear"]["w"]),
+        cast(pi[0]["lin"]["w"]), f32(_prep(pi[0]["lin"]["b"])),
+        f32(_prep(pi[0]["ln"]["scale"])), f32(_prep(pi[0]["ln"]["bias"])),
+        cast(pi[1]["lin"]["w"]), f32(_prep(pi[1]["lin"]["b"])),
+        cast(pg[0]["lin"]["w"]), f32(_prep(pg[0]["lin"]["b"])),
+        f32(_prep(pg[0]["ln"]["scale"])), f32(_prep(pg[0]["ln"]["bias"])),
+        cast(pg[1]["lin"]["w"]), f32(_prep(pg[1]["lin"]["b"])),
+    ]
+
+
+def _edge_side_chain(e, x, tvals, w, g_sz, n, node_axis, dt):
+    """Forward of ONE gated BondFFN chain inside a kernel, all in VMEM.
+
+    ``node_axis`` is the pair axis the node features index (1 = left/row,
+    2 = right/col); they broadcast over the other axis. Returns every
+    intermediate the backward needs (forward-only callers let DCE drop
+    them). Dots accumulate f32; activations cast to the compute dtype at
+    the same points as the XLA path.
+    """
+    (wb, wn, w1, b1, s1, b1n, w2, b2,
+     wg1, bg1, sg1, bg1n, wg2, bg2) = w
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    i_dim = wb.shape[1]
+    de_in = e.shape[-1]
+    dn = x.shape[-1]
+
+    bp = dot(e, wb)                                   # f32 [GNN, I]
+    np_ = dot(x, wn)                                  # f32 [GN, I]
+    shp = (g_sz, n, 1, i_dim) if node_axis == 1 else (g_sz, 1, n, i_dim)
+    np_b = np_.reshape(shp)
+    inter0 = (bp.reshape(g_sz, n, n, i_dim) * np_b).reshape(
+        g_sz * n * n, i_dim)
+    h1 = dot(inter0.astype(dt), w1) + b1
+    ln1, xhat1, inv1 = _ln_fwd_stats(h1, s1, b1n)
+    r1 = jax.nn.relu(ln1).astype(dt)
+    out_i = dot(r1, w2) + b2                          # f32 [GNN, De]
+
+    gh = wg1.shape[1]
+    ge = dot(e, wg1[:de_in])
+    gx = dot(x, wg1[de_in:de_in + dn])                # [GN, gh]
+    gt = dot(tvals, wg1[de_in + dn:de_in + dn + 1])   # [G, gh]
+    gshp = (g_sz, n, 1, gh) if node_axis == 1 else (g_sz, 1, n, gh)
+    g1 = (
+        ge.reshape(g_sz, n, n, gh)
+        + gx.reshape(gshp)
+        + gt.reshape(g_sz, 1, 1, gh)
+        + bg1
+    ).reshape(g_sz * n * n, gh)
+    lng, xhatg, invg = _ln_fwd_stats(g1, sg1, bg1n)
+    rg = jax.nn.relu(lng).astype(dt)
+    g2 = dot(rg, wg2) + bg2                           # f32 [GNN, De]
+    sig = jax.nn.sigmoid(g2)
+    msg = out_i * sig                                 # f32 [GNN, De]
+    return dict(bp=bp, np_=np_, np_b=np_b, inter0=inter0, xhat1=xhat1,
+                inv1=inv1, ln1=ln1, r1=r1, out_i=out_i, xhatg=xhatg,
+                invg=invg, lng=lng, rg=rg, sig=sig, msg=msg)
+
+
+def _edge_pair_kernel(e_ref, x_ref, mask_ref, t_ref, *refs):
+    wl = [r[:] for r in refs[:14]]
+    wr = [r[:] for r in refs[14:28]]
+    t_out, u_out = refs[28], refs[29]
+    g_sz, n, dn = x_ref.shape
+    de_in = e_ref.shape[-1]
+    dt = x_ref.dtype
+    e = e_ref[:].reshape(g_sz * n * n, de_in)
+    x = x_ref[:].reshape(g_sz * n, dn)
+    tvals = t_ref[:, 0, :].astype(jnp.float32)        # [G, 1]
+    mask4 = mask_ref[:][:, :, :, None]                # f32 [G,N,N,1]
+
+    msg_l = _edge_side_chain(e, x, tvals, wl, g_sz, n, 1, dt)["msg"]
+    de_out = msg_l.shape[-1]
+    t_out[:] = (msg_l.reshape(g_sz, n, n, de_out) * mask4).sum(
+        axis=1).astype(t_out.dtype)
+    msg_r = _edge_side_chain(e, x, tvals, wr, g_sz, n, 2, dt)["msg"]
+    u_out[:] = (msg_r.reshape(g_sz, n, n, de_out) * mask4).sum(
+        axis=2).astype(u_out.dtype)
+
+
+def _edge_pair_bwd_kernel(e_ref, x_ref, mask_ref, t_ref, dt_ct_ref,
+                          du_ct_ref, *refs):
+    wl = [r[:] for r in refs[:14]]
+    wr = [r[:] for r in refs[14:28]]
+    de_ref, dx_ref, dtm_ref, dmask_ref = refs[28:32]
+    accl = refs[32:48]
+    accr = refs[48:64]
+    g_sz, n, dn = x_ref.shape
+    de_in = e_ref.shape[-1]
+    dt = x_ref.dtype
+    e = e_ref[:].reshape(g_sz * n * n, de_in)
+    x = x_ref[:].reshape(g_sz * n, dn)
+    tvals = t_ref[:, 0, :].astype(jnp.float32)
+    mask4 = mask_ref[:][:, :, :, None]
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    rsum = lambda a: a.sum(axis=0, keepdims=True)
+    e_f = e.astype(jnp.float32)
+    x_f = x.astype(jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in accl + accr:
+            ref[:] = jnp.zeros_like(ref)
+
+    def side(w, acc, d_red4, node_axis):
+        """Backward of one chain given its broadcast cotangent d_red4
+        ([G,1,N,De] for left / [G,N,1,De] for right). Accumulates param
+        grads into ``acc`` and returns (d_e, d_x, d_time, d_mask)."""
+        (wb, wn, w1, b1, s1, b1n, w2, b2,
+         wg1, bg1, sg1, bg1n, wg2, bg2) = w
+        (dwb_r, dwn_r, dw1_r, db1_r, ds1_r, db1n_r, dw2_r, db2_r,
+         dwg1e_r, dwg1x_r, dwg1t_r, dbg1_r, dsg1_r, dbg1n_r,
+         dwg2_r, dbg2_r) = acc
+        c = _edge_side_chain(e, x, tvals, w, g_sz, n, node_axis, dt)
+        de_out = c["msg"].shape[-1]
+        i_dim = wb.shape[1]
+        sum_axis = 3 - node_axis  # node features broadcast over this axis
+
+        # rank-4 broadcast-multiplies, flattened only with the lane (last)
+        # dim preserved — Mosaic can't reshape [G,N,N] -> [GNN,1]
+        msg4 = c["msg"].reshape(g_sz, n, n, de_out)
+        d_mask_c = (d_red4 * msg4).sum(-1)                       # [G,N,N]
+        d_msg = jnp.broadcast_to(d_red4 * mask4,
+                                 (g_sz, n, n, de_out)).reshape(
+            g_sz * n * n, de_out)
+        d_out_i = d_msg * c["sig"]
+        d_sig = d_msg * c["out_i"]
+        d_g2 = d_sig * c["sig"] * (1.0 - c["sig"])
+        d_rg = dot(d_g2.astype(dt), wg2.T)
+        d_lng = d_rg * (c["lng"] > 0)
+        d_g1, dsg_rows, dbg_rows = _ln_bwd(d_lng, c["xhatg"], c["invg"], sg1)
+        d_e_gate = dot(d_g1.astype(dt), wg1[:de_in].T)
+        gh = wg1.shape[1]
+        s_node = d_g1.reshape(g_sz, n, n, gh).sum(axis=sum_axis)  # [G,N,gh]
+        s_node_flat = s_node.reshape(g_sz * n, gh)
+        d_x_gate = dot(s_node_flat.astype(dt), wg1[de_in:de_in + dn].T)
+        d_g1_tot = d_g1.reshape(g_sz, n * n, gh).sum(axis=1)      # [G,gh]
+        d_time_c = dot(d_g1_tot, wg1[de_in + dn:de_in + dn + 1].T)  # [G,1]
+
+        d_r1 = dot(d_out_i.astype(dt), w2.T)
+        d_ln1 = d_r1 * (c["ln1"] > 0)
+        d_h1, ds_rows, db_rows = _ln_bwd(d_ln1, c["xhat1"], c["inv1"], s1)
+        d_inter0 = dot(d_h1.astype(dt), w1.T)                     # f32
+        d_i4 = d_inter0.reshape(g_sz, n, n, i_dim)
+        d_bp = (d_i4 * c["np_b"]).reshape(g_sz * n * n, i_dim)
+        d_np = (d_i4 * c["bp"].reshape(g_sz, n, n, i_dim)).sum(
+            axis=sum_axis).reshape(g_sz * n, i_dim)
+        d_e_inter = dot(d_bp.astype(dt), wb.T)
+        d_x_inter = dot(d_np.astype(dt), wn.T)
+
+        dwb_r[:] += dot(e_f.T, d_bp)
+        dwn_r[:] += dot(x_f.T, d_np)
+        dw1_r[:] += dot(c["inter0"].astype(jnp.float32).T, d_h1)
+        db1_r[:] += rsum(d_h1)
+        ds1_r[:] += rsum(ds_rows)
+        db1n_r[:] += rsum(db_rows)
+        dw2_r[:] += dot(c["r1"].astype(jnp.float32).T, d_out_i)
+        db2_r[:] += rsum(d_out_i)
+        dwg1e_r[:] += dot(e_f.T, d_g1)
+        dwg1x_r[:] += dot(x_f.T, s_node_flat)
+        dwg1t_r[:] += dot(tvals.T, d_g1_tot)
+        dbg1_r[:] += rsum(d_g1)
+        dsg1_r[:] += rsum(dsg_rows)
+        dbg1n_r[:] += rsum(dbg_rows)
+        dwg2_r[:] += dot(c["rg"].astype(jnp.float32).T, d_g2)
+        dbg2_r[:] += rsum(d_g2)
+        return d_e_gate + d_e_inter, d_x_gate + d_x_inter, d_time_c, d_mask_c
+
+    de_out = dt_ct_ref.shape[-1]
+    # t = sum over rows (axis 1) -> its cotangent broadcasts back over rows;
+    # u = sum over cols (axis 2) -> broadcasts back over cols.
+    d_red_l = dt_ct_ref[:].astype(jnp.float32).reshape(g_sz, 1, n, de_out)
+    d_red_r = du_ct_ref[:].astype(jnp.float32).reshape(g_sz, n, 1, de_out)
+    de_l, dx_l, dtm_l, dm_l = side(wl, accl, d_red_l, 1)
+    de_r, dx_r, dtm_r, dm_r = side(wr, accr, d_red_r, 2)
+
+    de_ref[:] = (de_l + de_r).reshape(g_sz, n * n, de_in).astype(de_ref.dtype)
+    dx_ref[:] = (dx_l + dx_r).reshape(g_sz, n, dn).astype(dx_ref.dtype)
+    dtm_ref[:] = (dtm_l + dtm_r).reshape(g_sz, 1, 1).astype(dtm_ref.dtype)
+    dmask_ref[:] = (dm_l + dm_r).astype(dmask_ref.dtype)
+
+
+def _edge_acc_shapes(de_in, dn, i_dim, gh, de_out):
+    """Accumulator shapes for ONE BondFFN side (order matches ``side``)."""
+    return [
+        (de_in, i_dim), (dn, i_dim),                   # bond/node linear
+        (i_dim, i_dim), (1, i_dim), (1, i_dim), (1, i_dim),  # inter l0 + ln
+        (i_dim, de_out), (1, de_out),                  # inter l1
+        # gate first-layer rows [bond | node | time] as three accumulators
+        # (sliced VMEM += at non-tile-aligned offsets doesn't lower)
+        (de_in, gh), (dn, gh), (1, gh),
+        (1, gh), (1, gh), (1, gh),                     # bias + ln
+        (gh, de_out), (1, de_out),                     # gate l1
+    ]
+
+
+def _edge_dims(params, h_bond, h_node):
+    de_in = h_bond.shape[-1]
+    dn = h_node.shape[-1]
+    i_dim = params["left"]["bond_linear"]["w"].shape[1]
+    gh = params["left"]["gate"]["layers"][0]["lin"]["w"].shape[1]
+    de_out = params["left"]["inter"]["layers"][1]["lin"]["w"].shape[1]
+    return de_in, dn, i_dim, gh, de_out
+
+
+def _pallas_edge_pair_aggregate(params, h_bond, h_node, bond_time, pair_mask,
+                                interpret=False, group: int = 4):
+    b, n, dn = h_node.shape
+    de_in, _, i_dim, gh, de_out = _edge_dims(params, h_bond, h_node)
+    dt = h_bond.dtype
+    while b % group:
+        group //= 2
+    g_sz = max(group, 1)
+
+    e_flat = h_bond.reshape(b, n * n, de_in)
+    tcol = jnp.broadcast_to(
+        bond_time.reshape(-1, 1, 1).astype(jnp.float32), (b, n * n, 1))
+    mask = pair_mask.astype(jnp.float32)
+    weights = (_edge_side_weights(params["left"], dt)
+               + _edge_side_weights(params["right"], dt))
+
+    grid = (b // g_sz,)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    cell = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        cell((g_sz, n * n, de_in)), cell((g_sz, n, dn)), cell((g_sz, n, n)),
+        cell((g_sz, n * n, 1)),
+    ] + [const(w.shape) for w in weights]
+
+    t_out, u_out = pl.pallas_call(
+        _edge_pair_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[cell((g_sz, n, de_out)), cell((g_sz, n, de_out))],
+        out_shape=[jax.ShapeDtypeStruct((b, n, de_out), dt)] * 2,
+        interpret=interpret or INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+    )(e_flat, h_node, mask, tcol, *weights)
+    return t_out, u_out
+
+
+def _pallas_edge_pair_bwd(params, h_bond, h_node, bond_time, pair_mask, ct,
+                          interpret=False, group: int = 1):
+    """Run the fused EdgeBlock backward kernel; returns cotangents matching
+    the primal signature (params, h_bond, h_node, bond_time, pair_mask)."""
+    d_t_ct, d_u_ct = ct
+    b, n, dn = h_node.shape
+    de_in, _, i_dim, gh, de_out = _edge_dims(params, h_bond, h_node)
+    dt = h_bond.dtype
+    while b % group:
+        group //= 2
+    g_sz = max(group, 1)
+
+    e_flat = h_bond.reshape(b, n * n, de_in)
+    tcol = jnp.broadcast_to(
+        bond_time.reshape(-1, 1, 1).astype(jnp.float32), (b, n * n, 1))
+    mask = pair_mask.astype(jnp.float32)
+    weights = (_edge_side_weights(params["left"], dt)
+               + _edge_side_weights(params["right"], dt))
+
+    grid = (b // g_sz,)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    cell = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        cell((g_sz, n * n, de_in)), cell((g_sz, n, dn)), cell((g_sz, n, n)),
+        cell((g_sz, n * n, 1)), cell((g_sz, n, de_out)),
+        cell((g_sz, n, de_out)),
+    ] + [const(w.shape) for w in weights]
+
+    f32s = jnp.float32
+    acc_shapes = (_edge_acc_shapes(de_in, dn, i_dim, gh, de_out)
+                  + _edge_acc_shapes(de_in, dn, i_dim, gh, de_out))
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n * n, de_in), dt),   # d_bond
+        jax.ShapeDtypeStruct((b, n, dn), dt),          # d_node
+        jax.ShapeDtypeStruct((b, 1, 1), f32s),         # d_time (rank-3)
+        jax.ShapeDtypeStruct((b, n, n), f32s),         # d_mask
+    ] + [jax.ShapeDtypeStruct(s, f32s) for s in acc_shapes]
+    out_specs = [
+        cell((g_sz, n * n, de_in)), cell((g_sz, n, dn)), cell((g_sz, 1, 1)),
+        cell((g_sz, n, n)),
+    ] + [const(s) for s in acc_shapes]
+
+    outs = pl.pallas_call(
+        _edge_pair_bwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret or INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
+    )(e_flat, h_node, mask, tcol, d_t_ct, d_u_ct, *weights)
+
+    d_bond, d_node, d_time, d_mask = outs[:4]
+    n_acc = len(acc_shapes) // 2
+
+    def _side_tree(acc):
+        (dwb, dwn, dw1, db1, ds1, db1n, dw2, db2,
+         dwg1e, dwg1x, dwg1t, dbg1, dsg1, dbg1n, dwg2, dbg2) = acc
+        dwg1 = jnp.concatenate([dwg1e, dwg1x, dwg1t], axis=0)
+        row = lambda a: a.reshape(-1)
+        return {
+            "bond_linear": {"w": dwb},
+            "node_linear": {"w": dwn},
+            "inter": {"layers": [
+                {"lin": {"w": dw1, "b": row(db1)},
+                 "ln": {"scale": row(ds1), "bias": row(db1n)}},
+                {"lin": {"w": dw2, "b": row(db2)}},
+            ]},
+            "gate": {"layers": [
+                {"lin": {"w": dwg1, "b": row(dbg1)},
+                 "ln": {"scale": row(dsg1), "bias": row(dbg1n)}},
+                {"lin": {"w": dwg2, "b": row(dbg2)}},
+            ]},
+        }
+
+    d_params = {"left": _side_tree(outs[4:4 + n_acc]),
+                "right": _side_tree(outs[4 + n_acc:])}
+    # custom_vjp contract: cotangent dtypes must match the primals (f32
+    # accumulation inside the kernel, cast only at the boundary).
+    d_params = jax.tree.map(lambda g, prm: g.astype(prm.dtype),
+                            d_params, params)
+    return (d_params, d_bond.reshape(h_bond.shape), d_node,
+            d_time.reshape(bond_time.shape).astype(bond_time.dtype),
+            d_mask.astype(pair_mask.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def edge_pair_aggregate_tpu_fused_bwd(params, h_bond, h_node, bond_time,
+                                      pair_mask):
+    """EdgeBlock pair aggregate (both BondFFN chains + endpoint reductions)
+    with the Pallas forward AND the fused Pallas backward — neither
+    direction streams a [B,N,N,2De] intermediate through HBM. Wired in via
+    models/denoiser.py edge_block(pallas_bwd=True)."""
+    return _pallas_edge_pair_aggregate(params, h_bond, h_node, bond_time,
+                                       pair_mask)
+
+
+def _ep_fwd(params, h_bond, h_node, bond_time, pair_mask):
+    out = edge_pair_aggregate_tpu_fused_bwd(params, h_bond, h_node,
+                                            bond_time, pair_mask)
+    return out, (params, h_bond, h_node, bond_time, pair_mask)
+
+
+def _ep_bwd(res, ct):
+    params, h_bond, h_node, bond_time, pair_mask = res
+    return _pallas_edge_pair_bwd(params, h_bond, h_node, bond_time,
+                                 pair_mask, ct)
+
+
+edge_pair_aggregate_tpu_fused_bwd.defvjp(_ep_fwd, _ep_bwd)
+
+
+# ===========================================================================
+# Fused Pallas kernels for PosUpdate (the widest pair chain: inter = Dn)
+# ===========================================================================
+#
+# PosUpdate (reference graph.py:384-396; models/denoiser.py pos_update) runs
+# a gated BondFFN over [B,N,N,De] whose INTERIOR width is node_dim (256 on
+# the flagship) — the widest pair tensors in the whole network: ~6
+# [B,N,N,Dn] intermediates per block (134 MB each at B=256, N=32, bf16)
+# stream through HBM under XLA, in the forward AND again in the remat
+# backward. On top, the "node features" entering the FFN are themselves a
+# pair-shaped product mlp_L(h_node)[i] * mlp_R(h_node)[j]. These kernels
+# compute the two node MLPs, the pairwise product, the full gated chain,
+# and the f32 force reduction per molecule group entirely in VMEM: the
+# forward writes only the [B,N,3] force; the backward recomputes the chain
+# and emits input grads plus f32 parameter-grad accumulators.
+
+
+def _xla_pos_update(params, h_node, h_edge, rel_vec, distance, edge_time,
+                    pair_mask):
+    """Reference XLA implementation (exactly models/denoiser.py pos_update
+    without the fuse_edge variant; CPU fallback + parity target)."""
+    from ..models.denoiser import pos_update
+
+    return pos_update(params, h_node, h_edge, rel_vec, distance, edge_time,
+                      pair_mask)
+
+
+def _mlp_weights(p, dt):
+    """Flatten one 2-layer MLP's params into the kernel operand list (6)."""
+    cast = lambda w: w.astype(dt)
+    f32 = lambda w: w.astype(jnp.float32)
+    l0, l1 = p["layers"]
+    return [
+        cast(l0["lin"]["w"]), f32(_prep(l0["lin"]["b"])),
+        f32(_prep(l0["ln"]["scale"])), f32(_prep(l0["ln"]["bias"])),
+        cast(l1["lin"]["w"]), f32(_prep(l1["lin"]["b"])),
+    ]
+
+
+_MLP_ACC = lambda din, hid, dout: [
+    (din, hid), (1, hid), (1, hid), (1, hid), (hid, dout), (1, dout)]
+
+
+def _mlp_chain(x, w, dt):
+    """Forward of one 2-layer MLP (lin -> LN -> relu -> lin) in VMEM,
+    keeping the intermediates the backward needs."""
+    w1, b1, s1, b1n, w2, b2 = w
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    h1 = dot(x, w1) + b1
+    ln1, xhat1, inv1 = _ln_fwd_stats(h1, s1, b1n)
+    r1 = jax.nn.relu(ln1).astype(dt)
+    out = (dot(r1, w2) + b2).astype(dt)
+    return dict(h1=h1, ln1=ln1, xhat1=xhat1, inv1=inv1, r1=r1, out=out)
+
+
+def _mlp_bwd(c, x_f, d_out, w, acc, dt):
+    """Backward of _mlp_chain given f32 d_out; accumulates param grads into
+    ``acc`` and returns d_x (f32)."""
+    w1, b1, s1, b1n, w2, b2 = w
+    dw1_r, db1_r, ds1_r, db1n_r, dw2_r, db2_r = acc
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    rsum = lambda a: a.sum(axis=0, keepdims=True)
+    d_r1 = dot(d_out.astype(dt), w2.T)
+    d_ln1 = d_r1 * (c["ln1"] > 0)
+    d_h1, ds_rows, db_rows = _ln_bwd(d_ln1, c["xhat1"], c["inv1"], s1)
+    d_x = dot(d_h1.astype(dt), w1.T)
+    dw1_r[:] += dot(x_f.T, d_h1)
+    db1_r[:] += rsum(d_h1)
+    ds1_r[:] += rsum(ds_rows)
+    db1n_r[:] += rsum(db_rows)
+    dw2_r[:] += dot(c["r1"].astype(jnp.float32).T, d_out)
+    db2_r[:] += rsum(d_out)
+    return d_x
+
+
+def _pos_ffn_chain(e, xp, tvals, w, g_sz, n, dt):
+    """Forward of PosUpdate's gated BondFFN in VMEM. Unlike the EdgeBlock
+    chains, the node features ``xp`` are already pair-shaped [GNN, De]
+    (the left*right MLP product), so nothing broadcasts."""
+    (wb, wn, w1, b1, s1, b1n, w2, b2,
+     wg1, bg1, sg1, bg1n, wg2, bg2) = w
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    de_in = e.shape[-1]
+    dxp = xp.shape[-1]
+    gh = wg1.shape[1]
+
+    bp = dot(e, wb)                                   # f32 [GNN, I]
+    np_ = dot(xp, wn)                                 # f32 [GNN, I]
+    inter0 = bp * np_
+    h1 = dot(inter0.astype(dt), w1) + b1
+    ln1, xhat1, inv1 = _ln_fwd_stats(h1, s1, b1n)
+    r1 = jax.nn.relu(ln1).astype(dt)
+    out_i = dot(r1, w2) + b2                          # f32 [GNN, 1]
+
+    ge = dot(e, wg1[:de_in])                          # [GNN, gh]
+    gx = dot(xp, wg1[de_in:de_in + dxp])              # [GNN, gh]
+    gt = dot(tvals, wg1[de_in + dxp:de_in + dxp + 1])  # [G, gh]
+    g1 = (
+        ge.reshape(g_sz, n, n, gh)
+        + gx.reshape(g_sz, n, n, gh)
+        + gt.reshape(g_sz, 1, 1, gh)
+        + bg1
+    ).reshape(g_sz * n * n, gh)
+    lng, xhatg, invg = _ln_fwd_stats(g1, sg1, bg1n)
+    rg = jax.nn.relu(lng).astype(dt)
+    g2 = dot(rg, wg2) + bg2                           # f32 [GNN, 1]
+    sig = jax.nn.sigmoid(g2)
+    msg = out_i * sig                                 # f32 [GNN, 1]
+    return dict(bp=bp, np_=np_, inter0=inter0, xhat1=xhat1, inv1=inv1,
+                ln1=ln1, r1=r1, out_i=out_i, xhatg=xhatg, invg=invg,
+                lng=lng, rg=rg, sig=sig, msg=msg)
+
+
+def _pair_product(lout, rout, g_sz, n, de, dt):
+    """xp[g,i,j] = L[g,i] * R[g,j] at pair-flat rank, Mosaic-safely: a
+    two-broadcast product ([G,N,1,De] x [G,1,N,De]) hits an 'invalid
+    relayout' in Mosaic layout inference, and bf16 mid-unit-dim shape casts
+    don't lower at all — materialize the right side full-rank in f32 first,
+    then multiply with the single middle-unit broadcast (the pattern the
+    Edge/NodeBlock kernels already lower). bf16(a)*bf16(b) rounded back to
+    bf16 equals the f32 product rounded, so this matches the XLA path."""
+    lf = lout.astype(jnp.float32).reshape(g_sz, n, 1, de)
+    rfull = jnp.broadcast_to(
+        rout.astype(jnp.float32).reshape(g_sz, 1, n, de), (g_sz, n, n, de))
+    return (rfull * lf).astype(dt).reshape(g_sz * n * n, de)
+
+
+def _pos_force_terms(dist, mask4):
+    """d_safe-based force factors, f32: q = 1/d_safe, r = 1/(d_safe+1)."""
+    d4 = dist[:, :, :, None]
+    d_safe = jnp.where(mask4 > 0, d4, 1.0)
+    q = 1.0 / d_safe
+    r_ = 1.0 / (d_safe + 1.0)
+    return d_safe, q, r_
+
+
+def _pos_update_kernel(x_ref, e_ref, rv_ref, dist_ref, mask_ref, t_ref,
+                       *refs):
+    wl = [r[:] for r in refs[0:6]]
+    wr = [r[:] for r in refs[6:12]]
+    wf = [r[:] for r in refs[12:26]]
+    out_ref = refs[26]
+    g_sz, n, dn = x_ref.shape
+    de_in = e_ref.shape[-1]
+    dt = x_ref.dtype
+    x = x_ref[:].reshape(g_sz * n, dn)
+    e = e_ref[:].reshape(g_sz * n * n, de_in)
+    tvals = t_ref[:, 0, :].astype(jnp.float32)        # [G, 1]
+    mask4 = mask_ref[:][:, :, :, None]                # f32 [G,N,N,1]
+
+    lout = _mlp_chain(x, wl, dt)["out"]               # [GN, De] dt
+    rout = _mlp_chain(x, wr, dt)["out"]
+    de = lout.shape[-1]
+    xp = _pair_product(lout, rout, g_sz, n, de, dt)
+    w4 = _pos_ffn_chain(e, xp, tvals, wf, g_sz, n, dt)["msg"].reshape(
+        g_sz, n, n, 1)                                # f32 weight
+
+    rv4 = rv_ref[:].reshape(g_sz, n, n, 3)
+    _, q, r_ = _pos_force_terms(dist_ref[:], mask4)
+    force4 = w4 * rv4 * q * r_ * mask4
+    out_ref[:] = force4.sum(axis=2).astype(out_ref.dtype)
+
+
+def _pos_update_bwd_kernel(x_ref, e_ref, rv_ref, dist_ref, mask_ref, t_ref,
+                           ct_ref, *refs):
+    wl = [r[:] for r in refs[0:6]]
+    wr = [r[:] for r in refs[6:12]]
+    wf = [r[:] for r in refs[12:26]]
+    (dx_ref, de_ref, drv_ref, ddist_ref, dtm_ref, dmask_ref) = refs[26:32]
+    accl = refs[32:38]
+    accr = refs[38:44]
+    accf = refs[44:60]
+    dl_scratch = refs[60]
+    g_sz, n, dn = x_ref.shape
+    de_in = e_ref.shape[-1]
+    dt = x_ref.dtype
+    x = x_ref[:].reshape(g_sz * n, dn)
+    e = e_ref[:].reshape(g_sz * n * n, de_in)
+    tvals = t_ref[:, 0, :].astype(jnp.float32)
+    mask4 = mask_ref[:][:, :, :, None]
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    rsum = lambda a: a.sum(axis=0, keepdims=True)
+    x_f = x.astype(jnp.float32)
+    e_f = e.astype(jnp.float32)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in tuple(accl) + tuple(accr) + tuple(accf):
+            ref[:] = jnp.zeros_like(ref)
+
+    # ---- forward recompute, all in VMEM ------------------------------------
+    cl = _mlp_chain(x, wl, dt)
+    cr = _mlp_chain(x, wr, dt)
+    lout, rout = cl["out"], cr["out"]
+    de = lout.shape[-1]
+    xp = _pair_product(lout, rout, g_sz, n, de, dt)
+    lout4 = lout.astype(jnp.float32).reshape(g_sz, n, 1, de)
+    rout4 = jnp.broadcast_to(
+        rout.astype(jnp.float32).reshape(g_sz, 1, n, de), (g_sz, n, n, de))
+    cf = _pos_ffn_chain(e, xp, tvals, wf, g_sz, n, dt)
+    w4 = cf["msg"].reshape(g_sz, n, n, 1)
+
+    # ---- force backward -----------------------------------------------------
+    rv4 = rv_ref[:].reshape(g_sz, n, n, 3)
+    _, q, r_ = _pos_force_terms(dist_ref[:], mask4)
+    qr = q * r_
+    ct4 = ct_ref[:].astype(jnp.float32).reshape(g_sz, n, 1, 3)
+    ct_dot_rv = (ct4 * rv4).sum(-1, keepdims=True)     # [G,N,N,1]
+    d_w4 = ct_dot_rv * qr * mask4
+    drv_ref[:] = (ct4 * w4 * qr * mask4).reshape(
+        g_sz, n * n, 3).astype(drv_ref.dtype)
+    dmask_ref[:] = (ct_dot_rv * w4 * qr)[..., 0].astype(dmask_ref.dtype)
+    ddist_ref[:] = (
+        ct_dot_rv * w4 * mask4 * (-qr) * (q + r_)
+    )[..., 0].astype(ddist_ref.dtype)
+
+    # ---- gated BondFFN backward ---------------------------------------------
+    (wb, wn, w1, b1, s1, b1n, w2, b2,
+     wg1, bg1, sg1, bg1n, wg2, bg2) = wf
+    (dwb_r, dwn_r, dw1_r, db1_r, ds1_r, db1n_r, dw2_r, db2_r,
+     dwg1e_r, dwg1x_r, dwg1t_r, dbg1_r, dsg1_r, dbg1n_r,
+     dwg2_r, dbg2_r) = accf
+    i_dim = wb.shape[1]
+    gh = wg1.shape[1]
+    xp_f = xp.astype(jnp.float32)
+
+    d_msg = d_w4.reshape(g_sz * n * n, 1)              # f32 [GNN, 1]
+    d_out_i = d_msg * cf["sig"]
+    d_sig = d_msg * cf["out_i"]
+    d_g2 = d_sig * cf["sig"] * (1.0 - cf["sig"])
+    d_rg = dot(d_g2.astype(dt), wg2.T)
+    d_lng = d_rg * (cf["lng"] > 0)
+    d_g1, dsg_rows, dbg_rows = _ln_bwd(d_lng, cf["xhatg"], cf["invg"], sg1)
+    d_e_gate = dot(d_g1.astype(dt), wg1[:de_in].T)
+    d_xp_gate = dot(d_g1.astype(dt), wg1[de_in:de_in + de].T)
+    d_g1_tot = d_g1.reshape(g_sz, n * n, gh).sum(axis=1)  # [G, gh]
+    d_time = dot(d_g1_tot, wg1[de_in + de:de_in + de + 1].T)  # [G, 1]
+
+    d_r1 = dot(d_out_i.astype(dt), w2.T)
+    d_ln1 = d_r1 * (cf["ln1"] > 0)
+    d_h1, ds_rows, db_rows = _ln_bwd(d_ln1, cf["xhat1"], cf["inv1"], s1)
+    d_inter0 = dot(d_h1.astype(dt), w1.T)              # f32 [GNN, I]
+    d_bp = d_inter0 * cf["np_"]
+    d_np = d_inter0 * cf["bp"]
+    d_e_inter = dot(d_bp.astype(dt), wb.T)
+    d_xp_inter = dot(d_np.astype(dt), wn.T)
+
+    dwb_r[:] += dot(e_f.T, d_bp)
+    dwn_r[:] += dot(xp_f.T, d_np)
+    dw1_r[:] += dot(cf["inter0"].astype(jnp.float32).T, d_h1)
+    db1_r[:] += rsum(d_h1)
+    ds1_r[:] += rsum(ds_rows)
+    db1n_r[:] += rsum(db_rows)
+    dw2_r[:] += dot(cf["r1"].astype(jnp.float32).T, d_out_i)
+    db2_r[:] += rsum(d_out_i)
+    dwg1e_r[:] += dot(e_f.T, d_g1)
+    dwg1x_r[:] += dot(xp_f.T, d_g1)
+    dwg1t_r[:] += dot(tvals.T, d_g1_tot)
+    dbg1_r[:] += rsum(d_g1)
+    dsg1_r[:] += rsum(dsg_rows)
+    dbg1n_r[:] += rsum(dbg_rows)
+    dwg2_r[:] += dot(cf["rg"].astype(jnp.float32).T, d_g2)
+    dbg2_r[:] += rsum(d_g2)
+
+    # ---- pairwise-product + node-MLP backward -------------------------------
+    d_xp4 = (d_xp_gate + d_xp_inter).reshape(g_sz, n, n, de)
+    # the axis-2 (sublane) reduction result feeds matmuls in _mlp_bwd;
+    # Mosaic's layout inference rejects that relayout ("non-singleton
+    # logical dimension is replicated in destination but not in source") —
+    # round-trip it through a VMEM scratch to reset to the native layout.
+    dl_scratch[:] = (d_xp4 * rout4).sum(axis=2).reshape(g_sz * n, de)
+    d_lout = dl_scratch[:]
+    d_rout = (d_xp4 * lout4).sum(axis=1).reshape(g_sz * n, de)
+    d_x_left = _mlp_bwd(cl, x_f, d_lout, wl, accl, dt)
+    d_x_right = _mlp_bwd(cr, x_f, d_rout, wr, accr, dt)
+
+    dx_ref[:] = (d_x_left + d_x_right).reshape(g_sz, n, dn).astype(
+        dx_ref.dtype)
+    de_ref[:] = (d_e_gate + d_e_inter).reshape(g_sz, n * n, de_in).astype(
+        de_ref.dtype)
+    dtm_ref[:] = d_time.reshape(g_sz, 1, 1).astype(dtm_ref.dtype)
+
+
+def _pos_dims(params, h_node, h_edge):
+    dn = h_node.shape[-1]
+    de_in = h_edge.shape[-1]
+    hd = params["left_lin_edge"]["layers"][0]["lin"]["w"].shape[1]
+    de = params["left_lin_edge"]["layers"][1]["lin"]["w"].shape[1]
+    el = params["edge_lin"]
+    i_dim = el["bond_linear"]["w"].shape[1]
+    gh = el["gate"]["layers"][0]["lin"]["w"].shape[1]
+    return dn, de_in, hd, de, i_dim, gh
+
+
+def _pos_kernel_operands(params, h_node, h_edge, rel_vec, distance,
+                         edge_time, pair_mask):
+    b, n, _ = h_node.shape
+    dt = h_node.dtype
+    e_flat = h_edge.reshape(b, n * n, -1)
+    rv_flat = rel_vec.astype(jnp.float32).reshape(b, n * n, 3)
+    dist = distance.astype(jnp.float32)
+    mask = pair_mask.astype(jnp.float32)
+    tcol = jnp.broadcast_to(
+        edge_time.reshape(-1, 1, 1).astype(jnp.float32), (b, n * n, 1))
+    weights = (_mlp_weights(params["left_lin_edge"], dt)
+               + _mlp_weights(params["right_lin_edge"], dt)
+               + _edge_side_weights(params["edge_lin"], dt))
+    return e_flat, rv_flat, dist, mask, tcol, weights
+
+
+def _pallas_pos_update(params, h_node, h_edge, rel_vec, distance, edge_time,
+                       pair_mask, interpret=False, group: int = 4):
+    b, n, dn = h_node.shape
+    de_in = h_edge.shape[-1]
+    dt = h_node.dtype
+    while b % group:
+        group //= 2
+    g_sz = max(group, 1)
+    e_flat, rv_flat, dist, mask, tcol, weights = _pos_kernel_operands(
+        params, h_node, h_edge, rel_vec, distance, edge_time, pair_mask)
+
+    grid = (b // g_sz,)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    cell = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        cell((g_sz, n, dn)), cell((g_sz, n * n, de_in)),
+        cell((g_sz, n * n, 3)), cell((g_sz, n, n)), cell((g_sz, n, n)),
+        cell((g_sz, n * n, 1)),
+    ] + [const(w.shape) for w in weights]
+
+    out = pl.pallas_call(
+        _pos_update_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[cell((g_sz, n, 3))],
+        out_shape=[jax.ShapeDtypeStruct((b, n, 3), jnp.float32)],
+        interpret=interpret or INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(h_node, e_flat, rv_flat, dist, mask, tcol, *weights)
+    return out[0]
+
+
+def _pallas_pos_update_bwd(params, h_node, h_edge, rel_vec, distance,
+                           edge_time, pair_mask, ct, interpret=False,
+                           group: int = 1):
+    """Run the fused PosUpdate backward kernel; returns cotangents matching
+    the primal signature (params, h_node, h_edge, rel_vec, distance,
+    edge_time, pair_mask)."""
+    b, n, dn = h_node.shape
+    de_in = h_edge.shape[-1]
+    dt = h_node.dtype
+    while b % group:
+        group //= 2
+    g_sz = max(group, 1)
+    e_flat, rv_flat, dist, mask, tcol, weights = _pos_kernel_operands(
+        params, h_node, h_edge, rel_vec, distance, edge_time, pair_mask)
+    _, _, hd, de, i_dim, gh = _pos_dims(params, h_node, h_edge)
+
+    grid = (b // g_sz,)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    cell = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        cell((g_sz, n, dn)), cell((g_sz, n * n, de_in)),
+        cell((g_sz, n * n, 3)), cell((g_sz, n, n)), cell((g_sz, n, n)),
+        cell((g_sz, n * n, 1)), cell((g_sz, n, 3)),
+    ] + [const(w.shape) for w in weights]
+
+    f32s = jnp.float32
+    acc_shapes = (_MLP_ACC(dn, hd, de) + _MLP_ACC(dn, hd, de)
+                  + _edge_acc_shapes(de_in, de, i_dim, gh, 1))
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n, dn), dt),          # d_node
+        jax.ShapeDtypeStruct((b, n * n, de_in), dt),   # d_edge
+        jax.ShapeDtypeStruct((b, n * n, 3), f32s),     # d_rel_vec
+        jax.ShapeDtypeStruct((b, n, n), f32s),         # d_distance
+        jax.ShapeDtypeStruct((b, 1, 1), f32s),         # d_time (rank-3)
+        jax.ShapeDtypeStruct((b, n, n), f32s),         # d_mask
+    ] + [jax.ShapeDtypeStruct(s, f32s) for s in acc_shapes]
+    out_specs = [
+        cell((g_sz, n, dn)), cell((g_sz, n * n, de_in)),
+        cell((g_sz, n * n, 3)), cell((g_sz, n, n)), cell((g_sz, 1, 1)),
+        cell((g_sz, n, n)),
+    ] + [const(s) for s in acc_shapes]
+
+    outs = pl.pallas_call(
+        _pos_update_bwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret or INTERPRET,
+        scratch_shapes=[pltpu.VMEM((g_sz * n, de), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(h_node, e_flat, rv_flat, dist, mask, tcol, ct, *weights)
+
+    d_node, d_edge, d_rv, d_dist, d_time, d_mask = outs[:6]
+    n_mlp = len(_MLP_ACC(dn, hd, de))
+    accl = outs[6:6 + n_mlp]
+    accr = outs[6 + n_mlp:6 + 2 * n_mlp]
+    accf = outs[6 + 2 * n_mlp:]
+
+    row = lambda a: a.reshape(-1)
+
+    def _mlp_tree(acc):
+        dw1, db1, ds1, db1n, dw2, db2 = acc
+        return {"layers": [
+            {"lin": {"w": dw1, "b": row(db1)},
+             "ln": {"scale": row(ds1), "bias": row(db1n)}},
+            {"lin": {"w": dw2, "b": row(db2)}},
+        ]}
+
+    (dwb, dwn, dw1, db1, ds1, db1n, dw2, db2,
+     dwg1e, dwg1x, dwg1t, dbg1, dsg1, dbg1n, dwg2, dbg2) = accf
+    dwg1 = jnp.concatenate([dwg1e, dwg1x, dwg1t], axis=0)
+    d_params = {
+        "left_lin_edge": _mlp_tree(accl),
+        "right_lin_edge": _mlp_tree(accr),
+        "edge_lin": {
+            "bond_linear": {"w": dwb},
+            "node_linear": {"w": dwn},
+            "inter": {"layers": [
+                {"lin": {"w": dw1, "b": row(db1)},
+                 "ln": {"scale": row(ds1), "bias": row(db1n)}},
+                {"lin": {"w": dw2, "b": row(db2)}},
+            ]},
+            "gate": {"layers": [
+                {"lin": {"w": dwg1, "b": row(dbg1)},
+                 "ln": {"scale": row(dsg1), "bias": row(dbg1n)}},
+                {"lin": {"w": dwg2, "b": row(dbg2)}},
+            ]},
+        },
+    }
+    # custom_vjp contract: cotangent dtypes must match the primals (f32
+    # accumulation inside the kernel, cast only at the boundary).
+    d_params = jax.tree.map(lambda g, prm: g.astype(prm.dtype),
+                            d_params, params)
+    return (d_params, d_node, d_edge.reshape(h_edge.shape),
+            d_rv.reshape(rel_vec.shape).astype(rel_vec.dtype),
+            d_dist.astype(distance.dtype),
+            d_time.reshape(edge_time.shape).astype(edge_time.dtype),
+            d_mask.astype(pair_mask.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def pos_update_tpu_fused_bwd(params, h_node, h_edge, rel_vec, distance,
+                             edge_time, pair_mask):
+    """PosUpdate (left/right node MLPs + pairwise product + gated BondFFN +
+    f32 force reduction) with the Pallas forward AND the fused Pallas
+    backward — none of the [B,N,N,Dn]-wide intermediates touch HBM in
+    either direction. Wired in via models/denoiser.py
+    pos_update(pallas_bwd=True)."""
+    return _pallas_pos_update(params, h_node, h_edge, rel_vec, distance,
+                              edge_time, pair_mask)
+
+
+def _pu_fwd(params, h_node, h_edge, rel_vec, distance, edge_time, pair_mask):
+    out = pos_update_tpu_fused_bwd(params, h_node, h_edge, rel_vec, distance,
+                                   edge_time, pair_mask)
+    return out, (params, h_node, h_edge, rel_vec, distance, edge_time,
+                 pair_mask)
+
+
+def _pu_bwd(res, ct):
+    (params, h_node, h_edge, rel_vec, distance, edge_time, pair_mask) = res
+    return _pallas_pos_update_bwd(params, h_node, h_edge, rel_vec, distance,
+                                  edge_time, pair_mask, ct)
+
+
+pos_update_tpu_fused_bwd.defvjp(_pu_fwd, _pu_bwd)

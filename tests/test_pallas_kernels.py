@@ -260,3 +260,285 @@ class TestPallasBwdIntegration:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
                 err_msg=str(pa))
+
+
+class TestEdgePairFused:
+    """Fused EdgeBlock pair aggregate (both BondFFN chains + endpoint
+    reductions, reference graph.py:268-295): Pallas forward and fused
+    backward must match the XLA composition / its direct vjp."""
+
+    @pytest.fixture(scope="class")
+    def esetup(self):
+        from moldiff_tpu.models.denoiser import init_edge_block
+
+        key = jax.random.key(7)
+        b, n, dn, de = 4, 8, 32, 16
+        eb = init_edge_block(key, de, dn, use_gate=True)
+        params = {"left": eb["bond_ffn_left"], "right": eb["bond_ffn_right"]}
+        ks = jax.random.split(key, 4)
+        h_bond = jax.random.normal(ks[0], (b, n, n, de))
+        h_node = jax.random.normal(ks[1], (b, n, dn))
+        t = jax.random.uniform(ks[2], (b, 1, 1))
+        mask = (jax.random.uniform(ks[3], (b, n, n)) > 0.3).astype(jnp.float32)
+        mask = mask * (1 - np.eye(n))[None]
+        return params, h_bond, h_node, t, mask
+
+    @pytest.mark.parametrize("group", [1, 2, 4])
+    def test_fwd_matches_xla(self, esetup, group):
+        from moldiff_tpu.ops.pallas_kernels import (
+            _pallas_edge_pair_aggregate,
+            _xla_edge_pair_aggregate,
+        )
+
+        args = esetup
+        ref_t, ref_u = _xla_edge_pair_aggregate(*args)
+        out_t, out_u = _pallas_edge_pair_aggregate(
+            *args, interpret=True, group=group)
+        np.testing.assert_allclose(np.asarray(ref_t), np.asarray(out_t),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ref_u), np.asarray(out_u),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bwd_matches_xla_vjp(self, esetup):
+        from moldiff_tpu.ops.pallas_kernels import (
+            _pallas_edge_pair_bwd,
+            _xla_edge_pair_aggregate,
+        )
+
+        params, h_bond, h_node, t, mask = esetup
+        out, vjp = jax.vjp(_xla_edge_pair_aggregate, params, h_bond, h_node,
+                           t, mask)
+        key = jax.random.key(42)
+        k1, k2 = jax.random.split(key)
+        ct = (jax.random.normal(k1, out[0].shape, out[0].dtype),
+              jax.random.normal(k2, out[1].shape, out[1].dtype))
+        want = vjp(ct)
+        got = _pallas_edge_pair_bwd(params, h_bond, h_node, t, mask, ct,
+                                    interpret=True)
+        assert jax.tree.structure(want) == jax.tree.structure(got)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(want)[0],
+                jax.tree_util.tree_flatten_with_path(got)[0]):
+            assert pa == pb
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=str(pa))
+
+    def test_edge_block_wiring(self, esetup, monkeypatch):
+        """edge_block(pallas_bwd=True) through the interpreter must equal
+        the plain path (forward), including grads through the whole block."""
+        from moldiff_tpu.models.denoiser import edge_block, init_edge_block
+        from moldiff_tpu.ops import pallas_kernels as pk
+
+        monkeypatch.setattr(pk, "INTERPRET", True)
+        _, h_bond, h_node, t, mask = esetup
+        key = jax.random.key(3)
+        eb = init_edge_block(key, h_bond.shape[-1], h_node.shape[-1],
+                             use_gate=True)
+
+        def loss(p, pallas_bwd):
+            out = edge_block(p, h_bond, h_node, t, mask,
+                             pallas_bwd=pallas_bwd)
+            return jnp.sum(out ** 2)
+
+        want_l, want_g = jax.value_and_grad(
+            lambda p: loss(p, False))(eb), None
+        got_l = jax.value_and_grad(lambda p: loss(p, True))(eb)
+        np.testing.assert_allclose(np.asarray(want_l[0]),
+                                   np.asarray(got_l[0]), rtol=1e-5)
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(want_l[1])[0],
+                jax.tree_util.tree_flatten_with_path(got_l[1])[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+                err_msg=str(pa))
+
+    def test_bf16_dtype_contract(self, esetup):
+        """bf16 primals: cotangents come back in the primal dtypes and stay
+        within 2x of XLA's own bf16 error vs the f32 ground truth."""
+        from moldiff_tpu.ops.pallas_kernels import (
+            _pallas_edge_pair_bwd,
+            _xla_edge_pair_aggregate,
+        )
+
+        params, h_bond, h_node, t, mask = esetup
+        bf = lambda tree: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, tree)
+        p16 = bf(params)
+        hb16 = h_bond.astype(jnp.bfloat16)
+        hn16 = h_node.astype(jnp.bfloat16)
+
+        out32, vjp32 = jax.vjp(_xla_edge_pair_aggregate, params, h_bond,
+                               h_node, t, mask)
+        ct32 = (2.0 * out32[0], 2.0 * out32[1])
+        truth = vjp32(ct32)
+
+        out16, vjp16 = jax.vjp(_xla_edge_pair_aggregate, p16, hb16, hn16,
+                               t, mask)
+        ct16 = (ct32[0].astype(out16[0].dtype), ct32[1].astype(out16[1].dtype))
+        xla16 = vjp16(ct16)
+        pl16 = _pallas_edge_pair_bwd(p16, hb16, hn16, t, mask, ct16,
+                                     interpret=True)
+
+        for (path, ref), (_, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(truth)[0],
+                jax.tree_util.tree_flatten_with_path(xla16)[0],
+                jax.tree_util.tree_flatten_with_path(pl16)[0]):
+            assert a.dtype == b.dtype, (path, a.dtype, b.dtype)
+            ref = np.asarray(ref, np.float32)
+            scale = np.abs(ref).max() + 1e-9
+            err_xla = np.abs(np.asarray(a, np.float32) - ref).max() / scale
+            err_pl = np.abs(np.asarray(b, np.float32) - ref).max() / scale
+            assert err_pl <= max(err_xla * 2.0, 1e-3), (
+                str(path), float(err_pl), float(err_xla))
+
+
+class TestPosUpdateFused:
+    """Fused PosUpdate (node MLPs + pairwise product + gated BondFFN +
+    force reduction, reference graph.py:384-396): Pallas forward and fused
+    backward must match the XLA composition / its direct vjp."""
+
+    @pytest.fixture(scope="class")
+    def psetup(self):
+        from moldiff_tpu.models.denoiser import init_pos_update
+
+        key = jax.random.key(11)
+        b, n, dn, de = 4, 8, 32, 16
+        params = init_pos_update(key, dn, de, de, use_gate=True)
+        ks = jax.random.split(key, 5)
+        h_node = jax.random.normal(ks[0], (b, n, dn))
+        h_edge = jax.random.normal(ks[1], (b, n, n, de))
+        pos = jax.random.normal(ks[2], (b, n, 3)) * 2.0
+        rel_vec = pos[:, :, None, :] - pos[:, None, :, :]
+        distance = jnp.linalg.norm(rel_vec, axis=-1)
+        t = jax.random.uniform(ks[3], (b, 1, 1))
+        mask = (jax.random.uniform(ks[4], (b, n, n)) > 0.3).astype(jnp.float32)
+        mask = mask * (1 - np.eye(n))[None]
+        return params, h_node, h_edge, rel_vec, distance, t, mask
+
+    @pytest.mark.parametrize("group", [1, 2, 4])
+    def test_fwd_matches_xla(self, psetup, group):
+        from moldiff_tpu.ops.pallas_kernels import (
+            _pallas_pos_update,
+            _xla_pos_update,
+        )
+
+        args = psetup
+        ref = _xla_pos_update(*args)
+        out = _pallas_pos_update(*args, interpret=True, group=group)
+        assert out.dtype == ref.dtype
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bwd_matches_xla_vjp(self, psetup):
+        from moldiff_tpu.ops.pallas_kernels import (
+            _pallas_pos_update_bwd,
+            _xla_pos_update,
+        )
+
+        args = psetup
+        out, vjp = jax.vjp(_xla_pos_update, *args)
+        ct = jax.random.normal(jax.random.key(42), out.shape, out.dtype)
+        want = vjp(ct)
+        got = _pallas_pos_update_bwd(*args, ct, interpret=True)
+        assert jax.tree.structure(want) == jax.tree.structure(got)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(want)[0],
+                jax.tree_util.tree_flatten_with_path(got)[0]):
+            assert pa == pb
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=str(pa))
+
+    def test_pos_update_wiring(self, psetup, monkeypatch):
+        """pos_update(pallas_bwd=True) through the interpreter must equal
+        the plain path, including grads through the whole module."""
+        from moldiff_tpu.models.denoiser import pos_update
+        from moldiff_tpu.ops import pallas_kernels as pk
+
+        monkeypatch.setattr(pk, "INTERPRET", True)
+        params, h_node, h_edge, rel_vec, distance, t, mask = psetup
+
+        def loss(p, pallas_bwd):
+            out = pos_update(p, h_node, h_edge, rel_vec, distance, t, mask,
+                             pallas_bwd=pallas_bwd)
+            return jnp.sum(out ** 2)
+
+        want_l = jax.value_and_grad(lambda p: loss(p, False))(params)
+        got_l = jax.value_and_grad(lambda p: loss(p, True))(params)
+        np.testing.assert_allclose(np.asarray(want_l[0]),
+                                   np.asarray(got_l[0]), rtol=1e-5)
+        for (pa, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(want_l[1])[0],
+                jax.tree_util.tree_flatten_with_path(got_l[1])[0]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4,
+                err_msg=str(pa))
+
+    def test_equivariance(self, psetup, monkeypatch):
+        """Rotating positions rotates the Pallas force output (E(3))."""
+        from moldiff_tpu.ops.pallas_kernels import _pallas_pos_update
+
+        params, h_node, h_edge, rel_vec, distance, t, mask = psetup
+        # random rotation via QR
+        q, _ = jnp.linalg.qr(jax.random.normal(jax.random.key(5), (3, 3)))
+        out = _pallas_pos_update(params, h_node, h_edge, rel_vec, distance,
+                                 t, mask, interpret=True)
+        out_rot = _pallas_pos_update(params, h_node, h_edge, rel_vec @ q.T,
+                                     distance, t, mask, interpret=True)
+        np.testing.assert_allclose(np.asarray(out @ q.T), np.asarray(out_rot),
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_bf16_dtype_contract(self, psetup):
+        """bf16 primals: cotangents come back in the primal dtypes and stay
+        within 2x of XLA's own bf16 error vs the f32 ground truth."""
+        from moldiff_tpu.ops.pallas_kernels import (
+            _pallas_pos_update_bwd,
+            _xla_pos_update,
+        )
+
+        params, h_node, h_edge, rel_vec, distance, t, mask = psetup
+        bf = lambda tree: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, tree)
+        p16 = bf(params)
+        hn16 = h_node.astype(jnp.bfloat16)
+        he16 = h_edge.astype(jnp.bfloat16)
+
+        out32, vjp32 = jax.vjp(_xla_pos_update, params, h_node, h_edge,
+                               rel_vec, distance, t, mask)
+        ct = 2.0 * out32
+        truth = vjp32(ct)
+
+        out16, vjp16 = jax.vjp(_xla_pos_update, p16, hn16, he16, rel_vec,
+                               distance, t, mask)
+        assert out16.dtype == jnp.float32  # force stays f32
+        xla16 = vjp16(ct)
+        pl16 = _pallas_pos_update_bwd(p16, hn16, he16, rel_vec, distance,
+                                      t, mask, ct, interpret=True)
+
+        # bf16 rounding points differ between the kernel (f32 chain, cast at
+        # matmul inputs) and XLA's vjp, so PER-LEAF max-errors trade places
+        # leaf by leaf (a single relu-boundary flip moves a leaf's max by
+        # ~3x at these tiny sizes) — the guard against systematic precision
+        # loss is the AGGREGATE: mean leaf error within 1.5x of XLA's, plus
+        # a loose 4x per-leaf outlier bound.
+        errs_xla, errs_pl = [], []
+        for (path, ref), (_, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(truth)[0],
+                jax.tree_util.tree_flatten_with_path(xla16)[0],
+                jax.tree_util.tree_flatten_with_path(pl16)[0]):
+            assert a.dtype == b.dtype, (path, a.dtype, b.dtype)
+            ref = np.asarray(ref, np.float32)
+            scale = np.abs(ref).max() + 1e-9
+            errs_xla.append(
+                np.abs(np.asarray(a, np.float32) - ref).max() / scale)
+            errs_pl.append(
+                (str(path),
+                 np.abs(np.asarray(b, np.float32) - ref).max() / scale))
+        mean_xla = np.mean(errs_xla)
+        assert np.mean([e for _, e in errs_pl]) <= max(1.5 * mean_xla, 2e-3)
+        for (path, err_pl), err_xla in zip(errs_pl, errs_xla):
+            assert err_pl <= max(4.0 * err_xla, 4.0 * mean_xla, 5e-3), (
+                path, float(err_pl), float(err_xla), float(mean_xla))
