@@ -98,14 +98,24 @@ def _embed_coords(mol: Mol, rng: np.random.Generator, iters: int = 60) -> None:
 
 
 def make_synthetic_dataset(
-    root: str, n_mols: int = 200, seed: int = 0, n_confs: int = 1
+    root: str, n_mols: int = 200, seed: int = 0, n_confs: int = 1,
+    chemistry: str = "v1",
 ) -> None:
     """Write a reference-layout dataset dir: sdf/<molid>.sdf +
-    mol_summary.csv + split_by_molid.pkl (80/10/10)."""
+    mol_summary.csv + split_by_molid.pkl (80/10/10).
+
+    chemistry='v2' uses the aromatic/physical-geometry generator
+    (synthetic_v2.random_molecule_v2): aromatic + triple bonds, GEOM-Drug
+    size statistics — the corpus the round-4 quality program runs on."""
     import os
     import pickle
 
     from ..chem.sdf import write_sdf
+
+    if chemistry == "v2":
+        from .synthetic_v2 import random_molecule_v2 as gen
+    else:
+        gen = random_molecule
 
     rng = np.random.default_rng(seed)
     sdf_dir = os.path.join(root, "sdf")
@@ -113,7 +123,7 @@ def make_synthetic_dataset(
     molids = []
     for k in range(n_mols):
         molid = f"syn{k:05d}"
-        mol = random_molecule(rng)
+        mol = gen(rng)
         confs = [mol]
         for _ in range(n_confs - 1):
             c = mol.copy()
