@@ -353,6 +353,9 @@ def main():
                 batch / t_best / max(n_chips, 1), 3)
             result["respaced_num_steps"] = s
         except Exception as exc:  # noqa: BLE001
+            # record the failure IN the JSON line so a broken path is
+            # visible in driver-recorded evidence, not just on stderr
+            result["respaced_error"] = str(exc)[:200]
             print(f"# respaced extra failed: {exc}", file=sys.stderr)
         try:  # GEOM-Drug mean-size bucket (N(24.9, 5.5) -> N=24), full chain
             n24 = 24
@@ -361,6 +364,7 @@ def main():
             result["bucket24_mols_per_sec_per_chip"] = round(
                 batch / t_best / max(n_chips, 1), 3)
         except Exception as exc:  # noqa: BLE001
+            result["bucket24_error"] = str(exc)[:200]
             print(f"# bucket24 extra failed: {exc}", file=sys.stderr)
         try:  # guided-mode MFU at S=100 (MFU is per-step; S only cuts wall)
             from moldiff_tpu.models.bond_predictor import BondPredictor
@@ -400,6 +404,7 @@ def main():
                 batch / g_best / max(n_chips, 1), 3)
             result["guided_pct_peak"] = g_mfu["pct_peak"]
         except Exception as exc:  # noqa: BLE001
+            result["guided_error"] = str(exc)[:200]
             print(f"# guided extra failed: {exc}", file=sys.stderr)
 
     print(json.dumps(result))

@@ -3,6 +3,7 @@ from .sanitize import (
     MolReconsError,
     check_valence,
     fix_aromatic,
+    fix_aromatic_reference,
     fix_valence,
     kekulize,
     reconstruct_from_generated,

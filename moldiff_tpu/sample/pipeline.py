@@ -49,6 +49,7 @@ class MolSampler:
         eta: float = 0.0,
         respace_gamma: float = 1.0,
         recon_workers: int = 0,
+        sanitize_mode: str = "reference",
     ):
         self.model = model
         self.featurizer = featurizer
@@ -67,6 +68,10 @@ class MolSampler:
         # single-device for the same key
         self.mesh = mesh
         self.add_edge = add_edge
+        # acceptance semantics of the sanitize cascade: "reference" (the
+        # headline metric — reference-exact fix_aromatic search) or "repo"
+        # (documented more-general search; chem/sanitize.py)
+        self.sanitize_mode = sanitize_mode
         # chunk the reverse chain into shorter device executions (needed for
         # guided sampling: one full-chain execution can exceed runtime RPC
         # deadlines); None = single lax.scan
@@ -344,7 +349,9 @@ class MolSampler:
             else:
                 decoded_list = self.sample_sizes(params, sizes, k)
                 traj_refs = [None] * len(decoded_list)
-            entries = _classify_batch(decoded_list, self.add_edge, workers)
+            entries = _classify_batch(
+                decoded_list, self.add_edge, workers, self.sanitize_mode
+            )
             want_traj: List[Tuple[dict, "_TrajRef"]] = []
             for entry, ref in zip(entries, traj_refs):
                 if (
@@ -435,8 +442,9 @@ def _classify_pool_init():
 
 
 def _classify_job(args):
-    decoded, add_edge = args
-    return classify_decoded(decoded, add_edge=add_edge)
+    decoded, add_edge, sanitize_mode = args
+    return classify_decoded(decoded, add_edge=add_edge,
+                            sanitize_mode=sanitize_mode)
 
 
 def _make_classify_pool(workers: int):
@@ -452,23 +460,33 @@ def _make_classify_pool(workers: int):
     return ctx.Pool(int(workers), initializer=_classify_pool_init)
 
 
-def _classify_batch(decoded_list, add_edge, workers=None) -> list:
+def _classify_batch(decoded_list, add_edge, workers=None,
+                    sanitize_mode: str = "reference") -> list:
     """classify_decoded over a batch; parallel when a Pool is given."""
     if workers is None:
-        return [classify_decoded(d, add_edge=add_edge) for d in decoded_list]
+        return [classify_decoded(d, add_edge=add_edge,
+                                 sanitize_mode=sanitize_mode)
+                for d in decoded_list]
     return workers.map(
-        _classify_job, [(d, add_edge) for d in decoded_list], chunksize=16
+        _classify_job,
+        [(d, add_edge, sanitize_mode) for d in decoded_list], chunksize=16,
     )
 
 
-def classify_decoded(decoded: dict, add_edge: Optional[str] = None) -> dict:
+def classify_decoded(decoded: dict, add_edge: Optional[str] = None,
+                     sanitize_mode: str = "reference") -> dict:
     """Decode dict -> pool entry: sanitize cascade + disconnect check
     (reference scripts/sample_drug3d.py:142-170).
 
     ``add_edge``: None uses the model's predicted bonds; 'distance' (the
     reference's 'edm' path, utils/reconstruct.py:204-212) re-perceives bonds
     from interatomic distances instead.
+
+    The pool entry carries ``stage`` (which cascade stage accepted the
+    molecule: sanitize / fix_aromatic / fix_valence / fix_aromatic_strict)
+    so soak evidence can report the failure-mode taxonomy.
     """
+    stats: dict = {}
     try:
         if add_edge in ("distance", "edm"):
             from ..chem.bond_perception import mol_from_positions
@@ -477,12 +495,15 @@ def classify_decoded(decoded: dict, add_edge: Optional[str] = None) -> dict:
             mol = sanitize(mol_from_positions(
                 decoded["element"], decoded["atom_pos"]
             ))
+            stats["stage"] = "sanitize"
         else:
             mol = reconstruct_from_generated(
                 decoded["element"],
                 decoded["atom_pos"],
                 decoded.get("bond_index"),
                 decoded.get("bond_type"),
+                mode=sanitize_mode,
+                stats=stats,
             )
     except MolError:
         return {"pool": "failed", "decoded": decoded, "reason": "recon_error"}
@@ -493,6 +514,7 @@ def classify_decoded(decoded: dict, add_edge: Optional[str] = None) -> dict:
     if "." in smiles:
         return {
             "pool": "failed", "decoded": decoded, "reason": "disconnect",
-            "mol": mol, "smiles": smiles,
+            "mol": mol, "smiles": smiles, "stage": stats.get("stage"),
         }
-    return {"pool": "finished", "decoded": decoded, "mol": mol, "smiles": smiles}
+    return {"pool": "finished", "decoded": decoded, "mol": mol,
+            "smiles": smiles, "stage": stats.get("stage")}

@@ -44,7 +44,8 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                         num_mols=1000, batch_size=128, seed=2023,
                         size_mean=18.0, size_std=5.0, use_ema=False,
                         num_steps=None, pos_sampler=None, eta=None,
-                        num_steps_gamma=None, recon_workers=None):
+                        num_steps_gamma=None, recon_workers=None,
+                        sanitize_mode=None):
     import yaml
 
     cfg = {
@@ -61,6 +62,7 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                if num_steps_gamma else {}),
             **({"recon_workers": int(recon_workers)}
                if recon_workers else {}),
+            **({"sanitize_mode": sanitize_mode} if sanitize_mode else {}),
         },
     }
     if bp_ckpt:
@@ -95,6 +97,17 @@ def main(argv=None):
                     help="respacing warp: >1 densifies late denoising steps")
     ap.add_argument("--recon_workers", type=int, default=None,
                     help="parallel host-side reconstruction workers")
+    ap.add_argument("--sanitize_mode", choices=["reference", "repo"],
+                    default="reference",
+                    help="acceptance semantics of the sanitize cascade")
+    ap.add_argument("--size_mean", type=float, default=24.923,
+                    help="sampled-size mean (GEOM-Drug stats, reference "
+                         "utils/transforms.py:128)")
+    ap.add_argument("--size_std", type=float, default=5.516)
+    ap.add_argument("--evidence", default=None,
+                    help="write ONE combined evidence JSON (success + stage "
+                         "taxonomy + aromatic fraction + uniq/novelty/"
+                         "diversity + JSD families) to this path")
     args = ap.parse_args(argv)
 
     from scripts.evaluate_all import main as evaluate_main
@@ -135,6 +148,8 @@ def main(argv=None):
             pos_sampler=args.pos_sampler, eta=args.eta,
             num_steps_gamma=args.num_steps_gamma,
             recon_workers=args.recon_workers,
+            sanitize_mode=args.sanitize_mode,
+            size_mean=args.size_mean, size_std=args.size_std,
         )
         t0 = time.time()
         out_dir = sample_main([
@@ -157,15 +172,47 @@ def main(argv=None):
         "--split", "test", "--parallel",
     ])
 
+    # ONE combined evidence JSON per soak (VERDICT r3 items 1/8): success +
+    # sanitize-stage taxonomy + aromatic fraction (sample summary.json),
+    # validity/uniqueness/novelty/diversity (evaluate_all), and the full JSD
+    # family panel vs the dataset test split (analyze_generated.compare).
+    from scripts.analyze_generated import compare, load_metrics_dir
+
+    ref_metrics_dir = os.path.join(args.dataset_root, "metrics", "test")
+    ref_metrics = (load_metrics_dir(ref_metrics_dir)
+                   if os.path.isdir(ref_metrics_dir) else {})
+    evidence = {
+        "num_mols": args.num_mols,
+        "sanitize_mode": args.sanitize_mode,
+        "size_mean": args.size_mean,
+        "size_std": args.size_std,
+        "dataset_root": args.dataset_root,
+        "runs": {},
+    }
     for name, out_dir in results.items():
-        summary = {}
+        rec = {"out_dir": out_dir}
+        for fname in ("summary.json",):
+            path = os.path.join(out_dir, fname)
+            if os.path.exists(path):
+                with open(path) as f:
+                    rec.update(json.load(f))
         for fname in ("validity.json", "similarity.json"):
             path = os.path.join(out_dir, "metrics", fname)
             if os.path.exists(path):
                 with open(path) as f:
-                    summary.update(json.load(f))
-        if summary:
-            print(f"[soak] {name}: {json.dumps(summary)}")
+                    rec.update(json.load(f))
+        if ref_metrics:
+            rec["jsd_vs_test"] = compare(
+                ref_metrics, load_metrics_dir(os.path.join(out_dir, "metrics"))
+            )
+        evidence["runs"][name] = rec
+        print(f"[soak] {name}: {json.dumps(rec)}")
+    if args.evidence:
+        os.makedirs(os.path.dirname(os.path.abspath(args.evidence)),
+                    exist_ok=True)
+        with open(args.evidence, "w") as f:
+            json.dump(evidence, f, indent=2)
+        print(f"[soak] evidence -> {args.evidence}")
     print("[soak] done")
 
 

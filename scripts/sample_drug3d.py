@@ -12,6 +12,7 @@ samples_all.pkl.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import pickle
 import sys
@@ -74,6 +75,11 @@ def main(argv=None):
     ap.add_argument("--add_edge", choices=["distance"], default=None,
                     help="re-perceive bonds from distances instead of the "
                          "predicted bond types (reference 'edm' path)")
+    ap.add_argument("--sanitize_mode", choices=["reference", "repo"],
+                    default=None,
+                    help="acceptance semantics of the sanitize cascade "
+                         "(default: sample.sanitize_mode or 'reference' — "
+                         "the reference-exact fix_aromatic search)")
     ap.add_argument("--recon_workers", type=int, default=None,
                     help="parallel host-side reconstruction workers "
                          "(0/1 = serial; default from sample.recon_workers)")
@@ -219,6 +225,10 @@ def main(argv=None):
         recon_workers=args.recon_workers
         if args.recon_workers is not None
         else int(config.sample.get("recon_workers", 0) or 0),
+        # acceptance semantics: "reference" (reference-exact fix_aromatic
+        # search; the headline metric) or "repo" (chem/sanitize.py)
+        sanitize_mode=args.sanitize_mode
+        or str(config.sample.get("sanitize_mode", "reference") or "reference"),
         **size_kw,
     )
     key = jax.random.key(config.sample.seed)
@@ -283,7 +293,8 @@ def main(argv=None):
         pickle.dump(
             {
                 "finished": [
-                    {"smiles": e["smiles"], "decoded": e["decoded"]}
+                    {"smiles": e["smiles"], "decoded": e["decoded"],
+                     "stage": e.get("stage")}
                     for e in pool["finished"]
                 ],
                 "failed": [
@@ -295,6 +306,39 @@ def main(argv=None):
             },
             f,
         )
+    # summary.json: the committed-evidence record (VERDICT r3 items 1/8) —
+    # success + sanitize-stage taxonomy (which cascade stage accepted each
+    # molecule: nonzero fix_aromatic counts prove kekulization failure modes
+    # are exercised end-to-end) + aromatic/triple-bond exposure of the pool.
+    from collections import Counter
+
+    from moldiff_tpu.chem.mol import AROMATIC
+
+    stage_counts = Counter(e.get("stage") or "unknown"
+                           for e in pool["finished"])
+    fail_counts = Counter(e["reason"] for e in pool["failed"])
+    n_arom = sum(
+        1 for e in pool["finished"]
+        if "mol" in e and any(b.order == AROMATIC for b in e["mol"].bonds)
+    )
+    n_triple = sum(
+        1 for e in pool["finished"]
+        if "mol" in e and any(b.order == 3 for b in e["mol"].bonds)
+    )
+    summary = {
+        "num_finished": n_fin,
+        "num_failed": n_fail,
+        "success_rate": success,
+        "wall_s": dt,
+        "sanitize_mode": sampler.sanitize_mode,
+        "accept_stage_counts": dict(stage_counts),
+        "failure_reason_counts": dict(fail_counts),
+        "aromatic_mol_fraction": n_arom / max(n_fin, 1),
+        "triple_bond_mol_fraction": n_triple / max(n_fin, 1),
+    }
+    with open(os.path.join(out_dir, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    logger.info(f"summary: {json.dumps(summary)}")
     logger.info(f"wrote {out_dir}")
     return out_dir
 

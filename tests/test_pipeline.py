@@ -82,9 +82,10 @@ class TestSamplerPipeline:
         real_classify = pl.classify_decoded
         calls = {"n": 0}
 
-        def fake_classify(decoded, add_edge=None):
+        def fake_classify(decoded, add_edge=None, sanitize_mode="reference"):
             calls["n"] += 1
-            e = real_classify(decoded, add_edge=add_edge)
+            e = real_classify(decoded, add_edge=add_edge,
+                              sanitize_mode=sanitize_mode)
             if calls["n"] % 2:  # force half the pool to 'finished'
                 e["pool"] = "finished"
                 e.setdefault("smiles", "C")
