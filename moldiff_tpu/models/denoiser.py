@@ -231,28 +231,26 @@ def edge_block(p, h_bond, h_node, bond_time, pair_mask,
     pre = edge_pre or {}
 
     if pallas_bwd and "gate" in p["bond_ffn_left"] and edge_pre is None:
-        # fused Pallas forward+backward for both chains + reductions —
-        # no [B,N,N,2De] intermediate touches HBM in either direction
+        # FULL-EdgeBlock fused Pallas forward+backward: both chains +
+        # reductions + the tail (node/self FFNs, LN, relu, out) in one
+        # VMEM-resident kernel — the forward writes only the [B,N,N,De]
+        # delta and the backward recomputes everything in VMEM
         # (ops/pallas_kernels.py, docs/PERFORMANCE.md train-MFU analysis)
-        from ..ops.pallas_kernels import edge_pair_aggregate_tpu_fused_bwd
+        from ..ops.pallas_kernels import edge_block_tpu_full_bwd
 
-        t_per_node, u_per_node = edge_pair_aggregate_tpu_fused_bwd(
-            {"left": p["bond_ffn_left"], "right": p["bond_ffn_right"]},
-            h_bond, h_node, bond_time, pair_mask)
-        msg_left_out = t_per_node[:, :, None, :]
-        msg_right_out = u_per_node[:, None, :, :]
-    else:
-        msg_left = bond_ffn(p["bond_ffn_left"], h_bond, h_left, bond_time,
-                            bond_pre=pre.get("bond_left"),
-                            gate_pre=pre.get("gate_left")) * mask
-        t_per_node = jnp.sum(msg_left, axis=1, dtype=jnp.float32).astype(dt)
-        msg_left_out = t_per_node[:, :, None, :]           # gather back by left index
+        return edge_block_tpu_full_bwd(p, h_bond, h_node, bond_time,
+                                       pair_mask)
+    msg_left = bond_ffn(p["bond_ffn_left"], h_bond, h_left, bond_time,
+                        bond_pre=pre.get("bond_left"),
+                        gate_pre=pre.get("gate_left")) * mask
+    t_per_node = jnp.sum(msg_left, axis=1, dtype=jnp.float32).astype(dt)
+    msg_left_out = t_per_node[:, :, None, :]           # gather back by left index
 
-        msg_right = bond_ffn(p["bond_ffn_right"], h_bond, h_right, bond_time,
-                             bond_pre=pre.get("bond_right"),
-                             gate_pre=pre.get("gate_right")) * mask
-        u_per_node = jnp.sum(msg_right, axis=2, dtype=jnp.float32).astype(dt)
-        msg_right_out = u_per_node[:, None, :, :]          # gather back by right index
+    msg_right = bond_ffn(p["bond_ffn_right"], h_bond, h_right, bond_time,
+                         bond_pre=pre.get("bond_right"),
+                         gate_pre=pre.get("gate_right")) * mask
+    u_per_node = jnp.sum(msg_right, axis=2, dtype=jnp.float32).astype(dt)
+    msg_right_out = u_per_node[:, None, :, :]          # gather back by right index
 
     if "self_ffn" in pre:
         self_term = pre["self_ffn"] + p["self_ffn"]["b"]

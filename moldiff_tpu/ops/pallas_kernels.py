@@ -677,7 +677,12 @@ def _node_block_bwd_kernel(
     dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
 
     # ---- forward recompute (mirrors _node_block_kernel; intermediates kept
-    # only in VMEM) ----------------------------------------------------------
+    # only in VMEM). INTENTIONAL precision asymmetry: the recompute keeps
+    # sigmoid/msg in f32 where the primal forward rounds them to the compute
+    # dtype (bf16), so cotangents correspond to a slightly-higher-precision
+    # surrogate of the primal. Recorded decision, not an oversight: the
+    # delta is bounded by bf16 rounding noise and pinned by the 2x-of-XLA-
+    # error accuracy tests (tests/test_pallas_kernels.py). -------------------
     h1 = dot(e, we1_ref[:]) + be1_ref[:]
     ln_e, xhat_e, inv_e = _ln_fwd_stats(h1, se1_ref[:], be1n_ref[:])
     r1 = jax.nn.relu(ln_e).astype(dt)
@@ -1075,6 +1080,80 @@ def _edge_pair_kernel(e_ref, x_ref, mask_ref, t_ref, *refs):
         axis=2).astype(u_out.dtype)
 
 
+def _edge_side_bwd(w, acc, d_red4, node_axis, e, x, e_f, x_f, tvals, mask4,
+                   g_sz, n, dt):
+    """Backward of ONE gated BondFFN chain + its masked endpoint reduction,
+    given the broadcast cotangent d_red4 ([G,1,N,De] for left / [G,N,1,De]
+    for right). Recomputes the forward chain in VMEM (f32 — see the
+    recorded precision-asymmetry note on _node_block_bwd_kernel),
+    accumulates param grads into ``acc`` and returns
+    (d_e, d_x, d_time, d_mask). Shared by the pair-aggregate and the
+    full-EdgeBlock backward kernels."""
+    (wb, wn, w1, b1, s1, b1n, w2, b2,
+     wg1, bg1, sg1, bg1n, wg2, bg2) = w
+    (dwb_r, dwn_r, dw1_r, db1_r, ds1_r, db1n_r, dw2_r, db2_r,
+     dwg1e_r, dwg1x_r, dwg1t_r, dbg1_r, dsg1_r, dbg1n_r,
+     dwg2_r, dbg2_r) = acc
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    rsum = lambda a: a.sum(axis=0, keepdims=True)
+    de_in = e.shape[-1]
+    dn = x.shape[-1]
+    c = _edge_side_chain(e, x, tvals, w, g_sz, n, node_axis, dt)
+    de_out = c["msg"].shape[-1]
+    i_dim = wb.shape[1]
+    sum_axis = 3 - node_axis  # node features broadcast over this axis
+
+    # rank-4 broadcast-multiplies, flattened only with the lane (last)
+    # dim preserved — Mosaic can't reshape [G,N,N] -> [GNN,1]
+    msg4 = c["msg"].reshape(g_sz, n, n, de_out)
+    d_mask_c = (d_red4 * msg4).sum(-1)                       # [G,N,N]
+    d_msg = jnp.broadcast_to(d_red4 * mask4,
+                             (g_sz, n, n, de_out)).reshape(
+        g_sz * n * n, de_out)
+    d_out_i = d_msg * c["sig"]
+    d_sig = d_msg * c["out_i"]
+    d_g2 = d_sig * c["sig"] * (1.0 - c["sig"])
+    d_rg = dot(d_g2.astype(dt), wg2.T)
+    d_lng = d_rg * (c["lng"] > 0)
+    d_g1, dsg_rows, dbg_rows = _ln_bwd(d_lng, c["xhatg"], c["invg"], sg1)
+    d_e_gate = dot(d_g1.astype(dt), wg1[:de_in].T)
+    gh = wg1.shape[1]
+    s_node = d_g1.reshape(g_sz, n, n, gh).sum(axis=sum_axis)  # [G,N,gh]
+    s_node_flat = s_node.reshape(g_sz * n, gh)
+    d_x_gate = dot(s_node_flat.astype(dt), wg1[de_in:de_in + dn].T)
+    d_g1_tot = d_g1.reshape(g_sz, n * n, gh).sum(axis=1)      # [G,gh]
+    d_time_c = dot(d_g1_tot, wg1[de_in + dn:de_in + dn + 1].T)  # [G,1]
+
+    d_r1 = dot(d_out_i.astype(dt), w2.T)
+    d_ln1 = d_r1 * (c["ln1"] > 0)
+    d_h1, ds_rows, db_rows = _ln_bwd(d_ln1, c["xhat1"], c["inv1"], s1)
+    d_inter0 = dot(d_h1.astype(dt), w1.T)                     # f32
+    d_i4 = d_inter0.reshape(g_sz, n, n, i_dim)
+    d_bp = (d_i4 * c["np_b"]).reshape(g_sz * n * n, i_dim)
+    d_np = (d_i4 * c["bp"].reshape(g_sz, n, n, i_dim)).sum(
+        axis=sum_axis).reshape(g_sz * n, i_dim)
+    d_e_inter = dot(d_bp.astype(dt), wb.T)
+    d_x_inter = dot(d_np.astype(dt), wn.T)
+
+    dwb_r[:] += dot(e_f.T, d_bp)
+    dwn_r[:] += dot(x_f.T, d_np)
+    dw1_r[:] += dot(c["inter0"].astype(jnp.float32).T, d_h1)
+    db1_r[:] += rsum(d_h1)
+    ds1_r[:] += rsum(ds_rows)
+    db1n_r[:] += rsum(db_rows)
+    dw2_r[:] += dot(c["r1"].astype(jnp.float32).T, d_out_i)
+    db2_r[:] += rsum(d_out_i)
+    dwg1e_r[:] += dot(e_f.T, d_g1)
+    dwg1x_r[:] += dot(x_f.T, s_node_flat)
+    dwg1t_r[:] += dot(tvals.T, d_g1_tot)
+    dbg1_r[:] += rsum(d_g1)
+    dsg1_r[:] += rsum(dsg_rows)
+    dbg1n_r[:] += rsum(dbg_rows)
+    dwg2_r[:] += dot(c["rg"].astype(jnp.float32).T, d_g2)
+    dbg2_r[:] += rsum(d_g2)
+    return d_e_gate + d_e_inter, d_x_gate + d_x_inter, d_time_c, d_mask_c
+
+
 def _edge_pair_bwd_kernel(e_ref, x_ref, mask_ref, t_ref, dt_ct_ref,
                           du_ct_ref, *refs):
     wl = [r[:] for r in refs[:14]]
@@ -1089,8 +1168,6 @@ def _edge_pair_bwd_kernel(e_ref, x_ref, mask_ref, t_ref, dt_ct_ref,
     x = x_ref[:].reshape(g_sz * n, dn)
     tvals = t_ref[:, 0, :].astype(jnp.float32)
     mask4 = mask_ref[:][:, :, :, None]
-    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
-    rsum = lambda a: a.sum(axis=0, keepdims=True)
     e_f = e.astype(jnp.float32)
     x_f = x.astype(jnp.float32)
 
@@ -1100,68 +1177,8 @@ def _edge_pair_bwd_kernel(e_ref, x_ref, mask_ref, t_ref, dt_ct_ref,
             ref[:] = jnp.zeros_like(ref)
 
     def side(w, acc, d_red4, node_axis):
-        """Backward of one chain given its broadcast cotangent d_red4
-        ([G,1,N,De] for left / [G,N,1,De] for right). Accumulates param
-        grads into ``acc`` and returns (d_e, d_x, d_time, d_mask)."""
-        (wb, wn, w1, b1, s1, b1n, w2, b2,
-         wg1, bg1, sg1, bg1n, wg2, bg2) = w
-        (dwb_r, dwn_r, dw1_r, db1_r, ds1_r, db1n_r, dw2_r, db2_r,
-         dwg1e_r, dwg1x_r, dwg1t_r, dbg1_r, dsg1_r, dbg1n_r,
-         dwg2_r, dbg2_r) = acc
-        c = _edge_side_chain(e, x, tvals, w, g_sz, n, node_axis, dt)
-        de_out = c["msg"].shape[-1]
-        i_dim = wb.shape[1]
-        sum_axis = 3 - node_axis  # node features broadcast over this axis
-
-        # rank-4 broadcast-multiplies, flattened only with the lane (last)
-        # dim preserved — Mosaic can't reshape [G,N,N] -> [GNN,1]
-        msg4 = c["msg"].reshape(g_sz, n, n, de_out)
-        d_mask_c = (d_red4 * msg4).sum(-1)                       # [G,N,N]
-        d_msg = jnp.broadcast_to(d_red4 * mask4,
-                                 (g_sz, n, n, de_out)).reshape(
-            g_sz * n * n, de_out)
-        d_out_i = d_msg * c["sig"]
-        d_sig = d_msg * c["out_i"]
-        d_g2 = d_sig * c["sig"] * (1.0 - c["sig"])
-        d_rg = dot(d_g2.astype(dt), wg2.T)
-        d_lng = d_rg * (c["lng"] > 0)
-        d_g1, dsg_rows, dbg_rows = _ln_bwd(d_lng, c["xhatg"], c["invg"], sg1)
-        d_e_gate = dot(d_g1.astype(dt), wg1[:de_in].T)
-        gh = wg1.shape[1]
-        s_node = d_g1.reshape(g_sz, n, n, gh).sum(axis=sum_axis)  # [G,N,gh]
-        s_node_flat = s_node.reshape(g_sz * n, gh)
-        d_x_gate = dot(s_node_flat.astype(dt), wg1[de_in:de_in + dn].T)
-        d_g1_tot = d_g1.reshape(g_sz, n * n, gh).sum(axis=1)      # [G,gh]
-        d_time_c = dot(d_g1_tot, wg1[de_in + dn:de_in + dn + 1].T)  # [G,1]
-
-        d_r1 = dot(d_out_i.astype(dt), w2.T)
-        d_ln1 = d_r1 * (c["ln1"] > 0)
-        d_h1, ds_rows, db_rows = _ln_bwd(d_ln1, c["xhat1"], c["inv1"], s1)
-        d_inter0 = dot(d_h1.astype(dt), w1.T)                     # f32
-        d_i4 = d_inter0.reshape(g_sz, n, n, i_dim)
-        d_bp = (d_i4 * c["np_b"]).reshape(g_sz * n * n, i_dim)
-        d_np = (d_i4 * c["bp"].reshape(g_sz, n, n, i_dim)).sum(
-            axis=sum_axis).reshape(g_sz * n, i_dim)
-        d_e_inter = dot(d_bp.astype(dt), wb.T)
-        d_x_inter = dot(d_np.astype(dt), wn.T)
-
-        dwb_r[:] += dot(e_f.T, d_bp)
-        dwn_r[:] += dot(x_f.T, d_np)
-        dw1_r[:] += dot(c["inter0"].astype(jnp.float32).T, d_h1)
-        db1_r[:] += rsum(d_h1)
-        ds1_r[:] += rsum(ds_rows)
-        db1n_r[:] += rsum(db_rows)
-        dw2_r[:] += dot(c["r1"].astype(jnp.float32).T, d_out_i)
-        db2_r[:] += rsum(d_out_i)
-        dwg1e_r[:] += dot(e_f.T, d_g1)
-        dwg1x_r[:] += dot(x_f.T, s_node_flat)
-        dwg1t_r[:] += dot(tvals.T, d_g1_tot)
-        dbg1_r[:] += rsum(d_g1)
-        dsg1_r[:] += rsum(dsg_rows)
-        dbg1n_r[:] += rsum(dbg_rows)
-        dwg2_r[:] += dot(c["rg"].astype(jnp.float32).T, d_g2)
-        dbg2_r[:] += rsum(d_g2)
-        return d_e_gate + d_e_inter, d_x_gate + d_x_inter, d_time_c, d_mask_c
+        return _edge_side_bwd(w, acc, d_red4, node_axis, e, x, e_f, x_f,
+                              tvals, mask4, g_sz, n, dt)
 
     de_out = dt_ct_ref.shape[-1]
     # t = sum over rows (axis 1) -> its cotangent broadcasts back over rows;
@@ -1354,6 +1371,368 @@ def _ep_bwd(res, ct):
 
 
 edge_pair_aggregate_tpu_fused_bwd.defvjp(_ep_fwd, _ep_bwd)
+
+
+# ===========================================================================
+# FULL-EdgeBlock fused kernels: both BondFFN chains + endpoint reductions +
+# the edge TAIL (node-FFN broadcasts, self FFN, LayerNorm, relu, out
+# projection) as ONE VMEM-resident kernel, forward and backward.
+#
+# Motivation (docs/PERFORMANCE.md train-MFU analysis, round 4): with the
+# pair-aggregate kernel the tail still streamed ~5 width-64 [B,N,N,64]
+# tensors through HBM per block (self_ffn in/out, the 5-term sum, LN/relu,
+# out in/out) plus their saved-activation copies under autodiff. Fusing the
+# tail removes those round-trips: the forward reads (h_bond, h_node, time,
+# mask) and writes ONLY the [B,N,N,De] block delta; the backward recomputes
+# the whole block in VMEM and emits input grads + f32 param accumulators.
+# Matches models/denoiser.py edge_block (reference graph.py:268-295).
+# ===========================================================================
+
+
+def _edge_tail_weights(p, dt):
+    """Flatten the EdgeBlock tail params (node FFNs, self FFN, LN, out)
+    into the kernel operand list (10)."""
+    cast = lambda w: w.astype(dt)
+    f32 = lambda w: w.astype(jnp.float32)
+    return [
+        cast(p["node_ffn_left"]["w"]), f32(_prep(p["node_ffn_left"]["b"])),
+        cast(p["node_ffn_right"]["w"]), f32(_prep(p["node_ffn_right"]["b"])),
+        cast(p["self_ffn"]["w"]), f32(_prep(p["self_ffn"]["b"])),
+        f32(_prep(p["ln"]["scale"])), f32(_prep(p["ln"]["bias"])),
+        cast(p["out"]["w"]), f32(_prep(p["out"]["b"])),
+    ]
+
+
+def _edge_tail_acc_shapes(dn, de_in, de_out):
+    """Accumulator shapes for the tail params (order matches
+    _edge_tail_weights)."""
+    return [
+        (dn, de_out), (1, de_out),       # node_ffn_left
+        (dn, de_out), (1, de_out),       # node_ffn_right
+        (de_in, de_out), (1, de_out),    # self_ffn
+        (1, de_out), (1, de_out),        # ln scale/bias
+        (de_out, de_out), (1, de_out),   # out
+    ]
+
+
+def _edge_block_tail_fwd(e, x, wt, t_per, u_per, g_sz, n, dt):
+    """Tail forward in VMEM given the two reduction results; returns every
+    intermediate the backward needs. f32 adds where the XLA path rounds to
+    bf16 between terms — same recorded precision asymmetry as the other
+    backward kernels."""
+    (wnl, bnl, wnr, bnr, wsf, bsf, sle, cle, woe, boe) = wt
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    de_out = t_per.shape[-1]
+    # broadcasts back to pairs: T by ROW index i, U by COL index j
+    t_b = _expand_rows(t_per, g_sz, n).astype(jnp.float32)
+    u_b = _expand_cols(u_per, g_sz, n).astype(jnp.float32)
+    projl = (dot(x, wnl) + bnl).astype(dt)           # [GN, De]
+    projr = (dot(x, wnr) + bnr).astype(dt)
+    projl_b = _expand_rows(projl.reshape(g_sz, n, de_out), g_sz, n)
+    projr_b = _expand_cols(projr.reshape(g_sz, n, de_out), g_sz, n)
+    selfe = dot(e, wsf) + bsf                        # f32 [GNN, De]
+    h1 = (t_b + u_b + projl_b.astype(jnp.float32)
+          + projr_b.astype(jnp.float32) + selfe)
+    ln_out, xhat, inv = _ln_fwd_stats(h1, sle, cle)
+    r = jax.nn.relu(ln_out).astype(dt)
+    delta = (dot(r, woe) + boe).astype(dt)           # [GNN, De]
+    return dict(h1=h1, ln_out=ln_out, xhat=xhat, inv=inv, r=r, delta=delta)
+
+
+def _edge_block_full_kernel(e_ref, x_ref, mask_ref, t_ref, *refs):
+    wl = [r[:] for r in refs[:14]]
+    wr = [r[:] for r in refs[14:28]]
+    wt = [r[:] for r in refs[28:38]]
+    out_ref = refs[38]
+    g_sz, n, dn = x_ref.shape
+    de_in = e_ref.shape[-1]
+    dt = x_ref.dtype
+    e = e_ref[:].reshape(g_sz * n * n, de_in)
+    x = x_ref[:].reshape(g_sz * n, dn)
+    tvals = t_ref[:, 0, :].astype(jnp.float32)        # [G, 1]
+    mask4 = mask_ref[:][:, :, :, None]                # f32 [G,N,N,1]
+
+    msg_l = _edge_side_chain(e, x, tvals, wl, g_sz, n, 1, dt)["msg"]
+    de_out = msg_l.shape[-1]
+    t_per = (msg_l.reshape(g_sz, n, n, de_out) * mask4).sum(
+        axis=1).astype(dt)                             # [G,N,De]
+    msg_r = _edge_side_chain(e, x, tvals, wr, g_sz, n, 2, dt)["msg"]
+    u_per = (msg_r.reshape(g_sz, n, n, de_out) * mask4).sum(
+        axis=2).astype(dt)
+    tail = _edge_block_tail_fwd(e, x, wt, t_per, u_per, g_sz, n, dt)
+    out_ref[:] = tail["delta"].reshape(g_sz, n * n, de_out).astype(
+        out_ref.dtype)
+
+
+def _edge_block_full_bwd_kernel(e_ref, x_ref, mask_ref, t_ref, dct_ref,
+                                *refs):
+    wl = [r[:] for r in refs[:14]]
+    wr = [r[:] for r in refs[14:28]]
+    wt = [r[:] for r in refs[28:38]]
+    de_ref, dx_ref, dtm_ref, dmask_ref = refs[38:42]
+    accl = refs[42:58]
+    accr = refs[58:74]
+    acct = refs[74:84]
+    g_sz, n, dn = x_ref.shape
+    de_in = e_ref.shape[-1]
+    dt = x_ref.dtype
+    e = e_ref[:].reshape(g_sz * n * n, de_in)
+    x = x_ref[:].reshape(g_sz * n, dn)
+    tvals = t_ref[:, 0, :].astype(jnp.float32)
+    mask4 = mask_ref[:][:, :, :, None]
+    dot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
+    rsum = lambda a: a.sum(axis=0, keepdims=True)
+    e_f = e.astype(jnp.float32)
+    x_f = x.astype(jnp.float32)
+    (wnl, bnl, wnr, bnr, wsf, bsf, sle, cle, woe, boe) = wt
+    (dwnl_r, dbnl_r, dwnr_r, dbnr_r, dwsf_r, dbsf_r,
+     dsle_r, dcle_r, dwo_r, dbo_r) = acct
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        for ref in list(accl) + list(accr) + list(acct):
+            ref[:] = jnp.zeros_like(ref)
+
+    # ---- forward recompute (chains via _edge_side_bwd below; reductions +
+    # tail here) --------------------------------------------------------------
+    msg_l = _edge_side_chain(e, x, tvals, wl, g_sz, n, 1, dt)["msg"]
+    de_out = msg_l.shape[-1]
+    t_per = (msg_l.reshape(g_sz, n, n, de_out) * mask4).sum(
+        axis=1).astype(dt)
+    msg_r = _edge_side_chain(e, x, tvals, wr, g_sz, n, 2, dt)["msg"]
+    u_per = (msg_r.reshape(g_sz, n, n, de_out) * mask4).sum(
+        axis=2).astype(dt)
+    tail = _edge_block_tail_fwd(e, x, wt, t_per, u_per, g_sz, n, dt)
+
+    # ---- tail backward ------------------------------------------------------
+    d_delta = dct_ref[:].astype(jnp.float32).reshape(g_sz * n * n, de_out)
+    d_r = dot(d_delta.astype(dt), woe.T)
+    dwo_r[:] += dot(tail["r"].astype(jnp.float32).T, d_delta)
+    dbo_r[:] += rsum(d_delta)
+    d_ln = d_r * (tail["ln_out"] > 0)
+    d_h, ds_rows, dc_rows = _ln_bwd(d_ln, tail["xhat"], tail["inv"], sle)
+    dsle_r[:] += rsum(ds_rows)
+    dcle_r[:] += rsum(dc_rows)
+
+    # self-FFN path
+    d_e_self = dot(d_h.astype(dt), wsf.T)              # f32 [GNN, De_in]
+    dwsf_r[:] += dot(e_f.T, d_h)
+    dbsf_r[:] += rsum(d_h)
+
+    # node-FFN broadcast paths: left by ROW index (broadcast over axis 2),
+    # right by COL index (broadcast over axis 1)
+    d_h4 = d_h.reshape(g_sz, n, n, de_out)
+    d_projl = d_h4.sum(axis=2).reshape(g_sz * n, de_out)
+    d_projr = d_h4.sum(axis=1).reshape(g_sz * n, de_out)
+    d_x_projl = dot(d_projl.astype(dt), wnl.T)
+    d_x_projr = dot(d_projr.astype(dt), wnr.T)
+    dwnl_r[:] += dot(x_f.T, d_projl)
+    dbnl_r[:] += rsum(d_projl)
+    dwnr_r[:] += dot(x_f.T, d_projr)
+    dbnr_r[:] += rsum(d_projr)
+
+    # reduction cotangents: t_b[g,i,j] = t_per[g,i] and t = sum over axis 1
+    # -> d_red_l broadcasts over axis 1 of the pair grid; u symmetric.
+    d_red_l = d_h4.sum(axis=2).reshape(g_sz, 1, n, de_out)
+    d_red_r = d_h4.sum(axis=1).reshape(g_sz, n, 1, de_out)
+    de_l, dx_l, dtm_l, dm_l = _edge_side_bwd(
+        wl, accl, d_red_l, 1, e, x, e_f, x_f, tvals, mask4, g_sz, n, dt)
+    de_r, dx_r, dtm_r, dm_r = _edge_side_bwd(
+        wr, accr, d_red_r, 2, e, x, e_f, x_f, tvals, mask4, g_sz, n, dt)
+
+    de_ref[:] = (d_e_self + de_l + de_r).reshape(
+        g_sz, n * n, de_in).astype(de_ref.dtype)
+    dx_ref[:] = (d_x_projl + d_x_projr + dx_l + dx_r).reshape(
+        g_sz, n, dn).astype(dx_ref.dtype)
+    dtm_ref[:] = (dtm_l + dtm_r).reshape(g_sz, 1, 1).astype(dtm_ref.dtype)
+    dmask_ref[:] = (dm_l + dm_r).astype(dmask_ref.dtype)
+
+
+def _xla_edge_block_full(params, h_bond, h_node, bond_time, pair_mask):
+    """XLA reference composition (exactly models/denoiser.py edge_block
+    minus the residual add); CPU fallback + parity target."""
+    from ..models.denoiser import edge_block
+
+    return edge_block(params, h_bond, h_node, bond_time, pair_mask)
+
+
+def _edge_full_weights(params, dt):
+    return (_edge_side_weights(params["bond_ffn_left"], dt)
+            + _edge_side_weights(params["bond_ffn_right"], dt)
+            + _edge_tail_weights(params, dt))
+
+
+def _edge_full_dims(params, h_bond, h_node):
+    de_in = h_bond.shape[-1]
+    dn = h_node.shape[-1]
+    i_dim = params["bond_ffn_left"]["bond_linear"]["w"].shape[1]
+    gh = params["bond_ffn_left"]["gate"]["layers"][0]["lin"]["w"].shape[1]
+    de_out = params["out"]["w"].shape[1]
+    return de_in, dn, i_dim, gh, de_out
+
+
+def _pallas_edge_block_full(params, h_bond, h_node, bond_time, pair_mask,
+                            interpret=False, group: int = 4):
+    b, n, dn = h_node.shape
+    de_in, _, i_dim, gh, de_out = _edge_full_dims(params, h_bond, h_node)
+    dt = h_bond.dtype
+    while b % group:
+        group //= 2
+    g_sz = max(group, 1)
+
+    e_flat = h_bond.reshape(b, n * n, de_in)
+    tcol = jnp.broadcast_to(
+        bond_time.reshape(-1, 1, 1).astype(jnp.float32), (b, n * n, 1))
+    mask = pair_mask.astype(jnp.float32)
+    weights = _edge_full_weights(params, dt)
+
+    grid = (b // g_sz,)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    cell = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        cell((g_sz, n * n, de_in)), cell((g_sz, n, dn)), cell((g_sz, n, n)),
+        cell((g_sz, n * n, 1)),
+    ] + [const(w.shape) for w in weights]
+
+    out = pl.pallas_call(
+        _edge_block_full_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[cell((g_sz, n * n, de_out))],
+        out_shape=[jax.ShapeDtypeStruct((b, n * n, de_out), dt)],
+        interpret=interpret or INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(e_flat, h_node, mask, tcol, *weights)[0]
+    return out.reshape(b, n, n, de_out)
+
+
+def _pallas_edge_block_full_bwd(params, h_bond, h_node, bond_time, pair_mask,
+                                ct, interpret=False, group: int = 1):
+    """Run the full-EdgeBlock backward kernel; returns cotangents matching
+    the primal signature (params, h_bond, h_node, bond_time, pair_mask)."""
+    b, n, dn = h_node.shape
+    de_in, _, i_dim, gh, de_out = _edge_full_dims(params, h_bond, h_node)
+    dt = h_bond.dtype
+    while b % group:
+        group //= 2
+    g_sz = max(group, 1)
+
+    e_flat = h_bond.reshape(b, n * n, de_in)
+    tcol = jnp.broadcast_to(
+        bond_time.reshape(-1, 1, 1).astype(jnp.float32), (b, n * n, 1))
+    mask = pair_mask.astype(jnp.float32)
+    weights = _edge_full_weights(params, dt)
+    ct_flat = ct.reshape(b, n * n, de_out)
+
+    grid = (b // g_sz,)
+    const = lambda shape: pl.BlockSpec(
+        shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM)
+    cell = lambda shape: pl.BlockSpec(
+        shape, lambda i: (i,) + (0,) * (len(shape) - 1),
+        memory_space=pltpu.VMEM)
+    in_specs = [
+        cell((g_sz, n * n, de_in)), cell((g_sz, n, dn)), cell((g_sz, n, n)),
+        cell((g_sz, n * n, 1)), cell((g_sz, n * n, de_out)),
+    ] + [const(w.shape) for w in weights]
+
+    f32s = jnp.float32
+    acc_shapes = (_edge_acc_shapes(de_in, dn, i_dim, gh, de_out)
+                  + _edge_acc_shapes(de_in, dn, i_dim, gh, de_out)
+                  + _edge_tail_acc_shapes(dn, de_in, de_out))
+    out_shape = [
+        jax.ShapeDtypeStruct((b, n * n, de_in), dt),   # d_bond
+        jax.ShapeDtypeStruct((b, n, dn), dt),          # d_node
+        jax.ShapeDtypeStruct((b, 1, 1), f32s),         # d_time (rank-3)
+        jax.ShapeDtypeStruct((b, n, n), f32s),         # d_mask
+    ] + [jax.ShapeDtypeStruct(s, f32s) for s in acc_shapes]
+    out_specs = [
+        cell((g_sz, n * n, de_in)), cell((g_sz, n, dn)), cell((g_sz, 1, 1)),
+        cell((g_sz, n, n)),
+    ] + [const(s) for s in acc_shapes]
+
+    outs = pl.pallas_call(
+        _edge_block_full_bwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret or INTERPRET,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+    )(e_flat, h_node, mask, tcol, ct_flat, *weights)
+
+    d_bond, d_node, d_time, d_mask = outs[:4]
+    n_acc = len(_edge_acc_shapes(de_in, dn, i_dim, gh, de_out))
+
+    def _side_tree(acc):
+        (dwb, dwn, dw1, db1, ds1, db1n, dw2, db2,
+         dwg1e, dwg1x, dwg1t, dbg1, dsg1, dbg1n, dwg2, dbg2) = acc
+        dwg1 = jnp.concatenate([dwg1e, dwg1x, dwg1t], axis=0)
+        row = lambda a: a.reshape(-1)
+        return {
+            "bond_linear": {"w": dwb},
+            "node_linear": {"w": dwn},
+            "inter": {"layers": [
+                {"lin": {"w": dw1, "b": row(db1)},
+                 "ln": {"scale": row(ds1), "bias": row(db1n)}},
+                {"lin": {"w": dw2, "b": row(db2)}},
+            ]},
+            "gate": {"layers": [
+                {"lin": {"w": dwg1, "b": row(dbg1)},
+                 "ln": {"scale": row(dsg1), "bias": row(dbg1n)}},
+                {"lin": {"w": dwg2, "b": row(dbg2)}},
+            ]},
+        }
+
+    (dwnl, dbnl, dwnr, dbnr, dwsf, dbsf,
+     dsle, dcle, dwo, dbo) = outs[4 + 2 * n_acc:]
+    row = lambda a: a.reshape(-1)
+    d_params = {
+        "bond_ffn_left": _side_tree(outs[4:4 + n_acc]),
+        "bond_ffn_right": _side_tree(outs[4 + n_acc:4 + 2 * n_acc]),
+        "node_ffn_left": {"w": dwnl, "b": row(dbnl)},
+        "node_ffn_right": {"w": dwnr, "b": row(dbnr)},
+        "self_ffn": {"w": dwsf, "b": row(dbsf)},
+        "ln": {"scale": row(dsle), "bias": row(dcle)},
+        "out": {"w": dwo, "b": row(dbo)},
+    }
+    # custom_vjp contract: cotangent dtypes must match the primals (f32
+    # accumulation inside the kernel, cast only at the boundary).
+    d_params = jax.tree.map(lambda g, prm: g.astype(prm.dtype),
+                            d_params, params)
+    return (d_params, d_bond.reshape(h_bond.shape), d_node,
+            d_time.reshape(bond_time.shape).astype(bond_time.dtype),
+            d_mask.astype(pair_mask.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def edge_block_tpu_full_bwd(params, h_bond, h_node, bond_time, pair_mask):
+    """The WHOLE EdgeBlock (both BondFFN chains + endpoint reductions +
+    node/self FFNs + LayerNorm + relu + out projection) with the Pallas
+    forward AND the fused Pallas backward — the forward writes only the
+    [B,N,N,De] delta, the backward recomputes everything in VMEM. Wired in
+    via models/denoiser.py edge_block(pallas_bwd=True)."""
+    return _pallas_edge_block_full(params, h_bond, h_node, bond_time,
+                                   pair_mask)
+
+
+def _ebf_fwd(params, h_bond, h_node, bond_time, pair_mask):
+    out = edge_block_tpu_full_bwd(params, h_bond, h_node, bond_time,
+                                  pair_mask)
+    return out, (params, h_bond, h_node, bond_time, pair_mask)
+
+
+def _ebf_bwd(res, ct):
+    params, h_bond, h_node, bond_time, pair_mask = res
+    return _pallas_edge_block_full_bwd(params, h_bond, h_node, bond_time,
+                                       pair_mask, ct)
+
+
+edge_block_tpu_full_bwd.defvjp(_ebf_fwd, _ebf_bwd)
 
 
 # ===========================================================================

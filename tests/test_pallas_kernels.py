@@ -394,6 +394,107 @@ class TestEdgePairFused:
                 str(path), float(err_pl), float(err_xla))
 
 
+class TestEdgeBlockFull:
+    """FULL-EdgeBlock fused kernel (both BondFFN chains + reductions + the
+    tail: node/self FFNs, LayerNorm, relu, out — reference graph.py:268-295):
+    Pallas forward and fused backward must match the whole XLA edge_block /
+    its direct vjp. This is the round-4 edge-tail fusion (VERDICT r3 #5)."""
+
+    @pytest.fixture(scope="class")
+    def fsetup(self):
+        from moldiff_tpu.models.denoiser import init_edge_block
+
+        key = jax.random.key(11)
+        b, n, dn, de = 4, 8, 32, 16
+        params = init_edge_block(key, de, dn, use_gate=True)
+        ks = jax.random.split(key, 4)
+        h_bond = jax.random.normal(ks[0], (b, n, n, de))
+        h_node = jax.random.normal(ks[1], (b, n, dn))
+        t = jax.random.uniform(ks[2], (b, 1, 1))
+        mask = (jax.random.uniform(ks[3], (b, n, n)) > 0.3).astype(jnp.float32)
+        mask = mask * (1 - np.eye(n))[None]
+        return params, h_bond, h_node, t, mask
+
+    @pytest.mark.parametrize("group", [1, 2, 4])
+    def test_fwd_matches_xla(self, fsetup, group):
+        from moldiff_tpu.ops.pallas_kernels import (
+            _pallas_edge_block_full,
+            _xla_edge_block_full,
+        )
+
+        args = fsetup
+        ref = _xla_edge_block_full(*args)
+        out = _pallas_edge_block_full(*args, interpret=True, group=group)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_bwd_matches_xla_vjp(self, fsetup):
+        from moldiff_tpu.ops.pallas_kernels import (
+            _pallas_edge_block_full_bwd,
+            _xla_edge_block_full,
+        )
+
+        params, h_bond, h_node, t, mask = fsetup
+        out, vjp = jax.vjp(_xla_edge_block_full, params, h_bond, h_node,
+                           t, mask)
+        ct = jax.random.normal(jax.random.key(42), out.shape, out.dtype)
+        want = vjp(ct)
+        got = _pallas_edge_block_full_bwd(params, h_bond, h_node, t, mask,
+                                          ct, interpret=True)
+        assert jax.tree.structure(want) == jax.tree.structure(got)
+        for (pa, a), (pb, b) in zip(
+                jax.tree_util.tree_flatten_with_path(want)[0],
+                jax.tree_util.tree_flatten_with_path(got)[0]):
+            assert pa == pb
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4,
+                err_msg=str(pa))
+
+    def test_bf16_dtype_contract(self, fsetup):
+        """bf16 primals: cotangents come back in the primal dtypes and stay
+        within 2x of XLA's own bf16 error vs the f32 ground truth."""
+        from moldiff_tpu.ops.pallas_kernels import (
+            _pallas_edge_block_full_bwd,
+            _xla_edge_block_full,
+        )
+
+        params, h_bond, h_node, t, mask = fsetup
+        bf = lambda tree: jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, tree)
+        p16 = bf(params)
+        hb16 = h_bond.astype(jnp.bfloat16)
+        hn16 = h_node.astype(jnp.bfloat16)
+
+        out32, vjp32 = jax.vjp(_xla_edge_block_full, params, h_bond,
+                               h_node, t, mask)
+        ct32 = 2.0 * out32
+        truth = vjp32(ct32)
+
+        out16, vjp16 = jax.vjp(_xla_edge_block_full, p16, hb16, hn16,
+                               t, mask)
+        ct16 = ct32.astype(out16.dtype)
+        xla16 = vjp16(ct16)
+        pl16 = _pallas_edge_block_full_bwd(p16, hb16, hn16, t, mask, ct16,
+                                           interpret=True)
+
+        for (path, ref), (_, a), (_, b) in zip(
+                jax.tree_util.tree_flatten_with_path(truth)[0],
+                jax.tree_util.tree_flatten_with_path(xla16)[0],
+                jax.tree_util.tree_flatten_with_path(pl16)[0]):
+            assert a.dtype == b.dtype, (path, a.dtype, b.dtype)
+            ref = np.asarray(ref, np.float32)
+            scale = np.abs(ref).max() + 1e-9
+            err_xla = np.abs(np.asarray(a, np.float32) - ref).max() / scale
+            err_pl = np.abs(np.asarray(b, np.float32) - ref).max() / scale
+            # 2.5x (vs the 2x used for the partial kernels): the full-block
+            # recompute chain is longer, so the recorded f32-recompute
+            # asymmetry (see _node_block_bwd_kernel) accumulates slightly
+            # more divergence from XLA's bf16 vjp on the deepest gate weight
+            assert err_pl <= max(err_xla * 2.5, 1e-3), (
+                str(path), float(err_pl), float(err_xla))
+
+
 class TestPosUpdateFused:
     """Fused PosUpdate (node MLPs + pairwise product + gated BondFFN +
     force reduction, reference graph.py:384-396): Pallas forward and fused
