@@ -220,6 +220,12 @@ def main():
     n = int(argv[1]) if len(argv) > 1 else 32
     if mode == "train":
         return bench_train(batch, n, argv[2] if len(argv) > 2 else "none")
+    # guided-mode kernel tokens (comma-separated 3rd arg): `pallas_bwd`
+    # routes the guidance gradient through the fused Pallas kernels;
+    # `noremat` disables the predictor-encoder remat (the fused backwards
+    # recompute their own chains in VMEM) — VERDICT r3 item 4
+    guided_tokens = set(
+        (argv[2] if mode == "guided" and len(argv) > 2 else "").split(","))
 
     tiny = bool(os.environ.get("BENCH_TINY"))  # CPU-testable path
     cfg = _model_config(tiny=tiny)
@@ -240,10 +246,13 @@ def main():
         bp = BondPredictor(Config({
             "node_dim": cfg["node_dim"], "edge_dim": cfg["edge_dim"],
             # remat=True: guidance backward recompute beats HBM activation
-            # saves (52 vs 72 ms/step measured on v5e)
+            # saves (52 vs 72 ms/step measured on v5e, XLA kernels)
             "encoder": {"num_blocks": bp_blocks, "cutoff": 20, "use_gate": True,
                         "update_edge": True, "update_pos": False,
-                        "dtype": "bfloat16", "remat": True},
+                        "dtype": "bfloat16",
+                        "remat": "noremat" not in guided_tokens,
+                        "use_pallas": "pallas_bwd" in guided_tokens,
+                        "pallas_bwd": "pallas_bwd" in guided_tokens},
             "diff": cfg["diff"],
         }), 8, 5)
         bond_predictor = (bp, bp.init_params(jax.random.key(5)))

@@ -162,7 +162,17 @@ def main(argv=None):
         # remat the predictor encoder: the guidance grad's backward is
         # HBM-bound on saved scan activations; recomputing them is ~28%
         # faster measured on v5e (52 vs 72 ms/step, B=128 N=32)
-        bp_config.model.encoder["remat"] = True
+        bp_config.model.encoder["remat"] = bool(
+            config.sample.get("bp_remat", True))
+        # sample.bp_pallas: route the guidance gradient through the fused
+        # Pallas forward+backward kernels (ops/pallas_kernels.py) — the
+        # same custom_vjp machinery the train step uses, applied to the
+        # bond-predictor VJP inside the guided scan (VERDICT r3 item 4).
+        # Pair with bp_remat: false (the fused backwards recompute their
+        # own chains in VMEM, making remat's recompute redundant).
+        if config.sample.get("bp_pallas"):
+            bp_config.model.encoder["use_pallas"] = True
+            bp_config.model.encoder["pallas_bwd"] = True
         # at sample time the predictor sees no mask edge class (reference
         # scripts/sample_drug3d.py:88 instantiates with num_edge_types - 1)
         bp = BondPredictor(
