@@ -45,7 +45,7 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                         size_mean=18.0, size_std=5.0, use_ema=False,
                         num_steps=None, pos_sampler=None, eta=None,
                         num_steps_gamma=None, recon_workers=None,
-                        sanitize_mode=None):
+                        sanitize_mode=None, add_edge=None):
     import yaml
 
     cfg = {
@@ -63,6 +63,7 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
             **({"recon_workers": int(recon_workers)}
                if recon_workers else {}),
             **({"sanitize_mode": sanitize_mode} if sanitize_mode else {}),
+            **({"add_edge": add_edge} if add_edge else {}),
         },
     }
     if bp_ckpt:
@@ -100,6 +101,9 @@ def main(argv=None):
     ap.add_argument("--sanitize_mode", choices=["reference", "repo"],
                     default="reference",
                     help="acceptance semantics of the sanitize cascade")
+    ap.add_argument("--add_edge", choices=["distance"], default=None,
+                    help="re-perceive bonds from distances (reference EDM "
+                         "path) instead of the predicted bond types")
     ap.add_argument("--size_mean", type=float, default=24.923,
                     help="sampled-size mean (GEOM-Drug stats, reference "
                          "utils/transforms.py:128)")
@@ -139,6 +143,8 @@ def main(argv=None):
             tag += f"_{args.pos_sampler}"
         if args.num_steps_gamma:
             tag += f"_g{args.num_steps_gamma:g}"
+        if args.add_edge:
+            tag += "_edm"
         cfg_path = os.path.join(args.outdir, f"sample_{tag}.yml")
         write_sample_config(
             cfg_path, ckpt,
@@ -148,7 +154,7 @@ def main(argv=None):
             pos_sampler=args.pos_sampler, eta=args.eta,
             num_steps_gamma=args.num_steps_gamma,
             recon_workers=args.recon_workers,
-            sanitize_mode=args.sanitize_mode,
+            sanitize_mode=args.sanitize_mode, add_edge=args.add_edge,
             size_mean=args.size_mean, size_std=args.size_std,
         )
         t0 = time.time()
