@@ -64,6 +64,10 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                if recon_workers else {}),
             **({"sanitize_mode": sanitize_mode} if sanitize_mode else {}),
             **({"add_edge": add_edge} if add_edge else {}),
+            # cap the bucket ladder at 40: a 2.7-sigma size draw under the
+            # GEOM stats would otherwise trigger a cold ~10-min chain
+            # compile of the 48 bucket for ~3 molecules per 1000
+            "buckets": [16, 24, 32, 40],
         },
     }
     if bp_ckpt:

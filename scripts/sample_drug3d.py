@@ -204,6 +204,13 @@ def main(argv=None):
         size_kw["size_mean"] = float(config.sample.size_mean)
     if config.sample.get("size_std"):
         size_kw["size_std"] = float(config.sample.size_std)
+    # sample.buckets: restrict the padded-size buckets (each bucket that a
+    # drawn size lands in costs a COLD chain compile — minutes on the axon
+    # tunnel; sizes clip to the largest bucket, so dropping the rare >40
+    # tail buckets trades a handful of 2.7-sigma molecules for ~10 min of
+    # compile per run)
+    if config.sample.get("buckets"):
+        size_kw["buckets"] = tuple(int(b) for b in config.sample.buckets)
     # framework extension: respaced reverse chain on S << T steps
     # (ops/respace.py); None/absent = full reference-exact 1000 steps
     num_steps = args.num_steps or config.sample.get("num_steps")
