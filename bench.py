@@ -63,7 +63,8 @@ def bench_train(batch: int, n: int, remat_policy: str = "none"):
     from moldiff_tpu.utils.config import Config
 
     tokens = [t for t in remat_policy.split(",") if t]
-    kernel_tokens = {t for t in tokens if t in ("pallas", "pallas_bwd")}
+    kernel_tokens = {t for t in tokens
+                     if t in ("pallas", "pallas_bwd", "edge_partial")}
     remat_tokens = [t for t in tokens if t not in kernel_tokens]
     remat_policy = remat_tokens[0] if remat_tokens else "none"
 
@@ -72,6 +73,9 @@ def bench_train(batch: int, n: int, remat_policy: str = "none"):
     if kernel_tokens:
         cfg["denoiser"]["use_pallas"] = True
         cfg["denoiser"]["pallas_bwd"] = "pallas_bwd" in kernel_tokens
+        # edge_partial: round-3 partial EdgeBlock kernel (fused chains,
+        # XLA tail) instead of the full-EdgeBlock kernel — A/B lever
+        cfg["denoiser"]["edge_full"] = "edge_partial" not in kernel_tokens
     if remat_policy == "off":
         cfg["denoiser"]["remat"] = False
     else:

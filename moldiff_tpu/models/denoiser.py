@@ -210,7 +210,8 @@ def init_edge_block(key, edge_dim, node_dim, use_gate):
 
 
 def edge_block(p, h_bond, h_node, bond_time, pair_mask,
-               edge_pre: Optional[dict] = None, pallas_bwd: bool = False):
+               edge_pre: Optional[dict] = None, pallas_bwd: bool = False,
+               edge_full: bool = True):
     """h_bond: [B,N,N,De] directed edge (i<-j is [b,i,j]); h_node: [B,N,Dn].
 
     Reference graph.py:268-295: edge<->edge interaction through shared
@@ -230,7 +231,8 @@ def edge_block(p, h_bond, h_node, bond_time, pair_mask,
     h_right = h_node[:, None, :, :]  # node at right/col index j
     pre = edge_pre or {}
 
-    if pallas_bwd and "gate" in p["bond_ffn_left"] and edge_pre is None:
+    if pallas_bwd and "gate" in p["bond_ffn_left"] and edge_pre is None \
+            and edge_full:
         # FULL-EdgeBlock fused Pallas forward+backward: both chains +
         # reductions + the tail (node/self FFNs, LN, relu, out) in one
         # VMEM-resident kernel — the forward writes only the [B,N,N,De]
@@ -240,6 +242,20 @@ def edge_block(p, h_bond, h_node, bond_time, pair_mask,
 
         return edge_block_tpu_full_bwd(p, h_bond, h_node, bond_time,
                                        pair_mask)
+    if pallas_bwd and "gate" in p["bond_ffn_left"] and edge_pre is None:
+        # partial variant (edge_full=False): fused chains + reductions
+        # only, XLA tail — kept for A/B measurement
+        from ..ops.pallas_kernels import edge_pair_aggregate_tpu_fused_bwd
+
+        t_pn, u_pn = edge_pair_aggregate_tpu_fused_bwd(
+            {"left": p["bond_ffn_left"], "right": p["bond_ffn_right"]},
+            h_bond, h_node, bond_time, pair_mask)
+        h = (t_pn[:, :, None, :] + u_pn[:, None, :, :]
+             + linear(p["node_ffn_left"], h_left)
+             + linear(p["node_ffn_right"], h_right)
+             + linear(p["self_ffn"], h_bond))
+        h = layernorm(p["ln"], h)
+        return linear(p["out"], jax.nn.relu(h))
     msg_left = bond_ffn(p["bond_ffn_left"], h_bond, h_left, bond_time,
                         bond_pre=pre.get("bond_left"),
                         gate_pre=pre.get("gate_left")) * mask
@@ -372,6 +388,7 @@ def denoiser_static_config(
     remat_policy: str = "none",
     use_pallas: bool = False,
     pallas_bwd: bool = False,
+    edge_full: bool = True,
     fuse_block: bool = False,
     fuse_edge: bool = False,
     moe=None,
@@ -398,6 +415,10 @@ def denoiser_static_config(
         # (ops/pallas_kernels.py:_node_block_bwd_kernel) instead of the
         # XLA-recompute vjp — the pair chain recomputes in VMEM per molecule
         "pallas_bwd": pallas_bwd,
+        # with pallas_bwd: True routes EdgeBlock through the FULL fused
+        # kernel (chains + reductions + tail); False keeps the round-3
+        # partial kernel (fused chains, XLA tail) for A/B
+        "edge_full": edge_full,
         "fuse_block": fuse_block,
         "fuse_edge": fuse_edge,
         # optional mixture-of-experts node MLP (models/moe.py); None keeps
@@ -550,6 +571,7 @@ def apply_block(
             blk["edge_block"], h_edge_i, h_node, edge_time, pair_mask,
             edge_pre=pre if fuse_edge else None,
             pallas_bwd=use_pallas and static.get("pallas_bwd", False),
+            edge_full=static.get("edge_full", True),
         )
     h_node = h_node + h_node_delta
     if update_pos:

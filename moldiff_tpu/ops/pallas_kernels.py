@@ -1444,6 +1444,7 @@ def _edge_block_full_kernel(e_ref, x_ref, mask_ref, t_ref, *refs):
     wr = [r[:] for r in refs[14:28]]
     wt = [r[:] for r in refs[28:38]]
     out_ref = refs[38]
+    t_sc, u_sc = refs[39:41]   # VMEM scratch (see layout note below)
     g_sz, n, dn = x_ref.shape
     de_in = e_ref.shape[-1]
     dt = x_ref.dtype
@@ -1454,11 +1455,17 @@ def _edge_block_full_kernel(e_ref, x_ref, mask_ref, t_ref, *refs):
 
     msg_l = _edge_side_chain(e, x, tvals, wl, g_sz, n, 1, dt)["msg"]
     de_out = msg_l.shape[-1]
-    t_per = (msg_l.reshape(g_sz, n, n, de_out) * mask4).sum(
-        axis=1).astype(dt)                             # [G,N,De]
+    # Mosaic: a sublane-axis reduction result feeding broadcasts/matmuls
+    # carries a replicated layout it can't relayout — round-trip through a
+    # VMEM scratch to reset to the native layout (same trick as the
+    # PosUpdate backward, docs/PERFORMANCE.md Mosaic notes).
+    t_sc[:] = (msg_l.reshape(g_sz, n, n, de_out) * mask4).sum(
+        axis=1).reshape(g_sz * n, de_out)
+    t_per = t_sc[:].reshape(g_sz, n, de_out).astype(dt)  # [G,N,De]
     msg_r = _edge_side_chain(e, x, tvals, wr, g_sz, n, 2, dt)["msg"]
-    u_per = (msg_r.reshape(g_sz, n, n, de_out) * mask4).sum(
-        axis=2).astype(dt)
+    u_sc[:] = (msg_r.reshape(g_sz, n, n, de_out) * mask4).sum(
+        axis=2).reshape(g_sz * n, de_out)
+    u_per = u_sc[:].reshape(g_sz, n, de_out).astype(dt)
     tail = _edge_block_tail_fwd(e, x, wt, t_per, u_per, g_sz, n, dt)
     out_ref[:] = tail["delta"].reshape(g_sz, n * n, de_out).astype(
         out_ref.dtype)
@@ -1473,6 +1480,7 @@ def _edge_block_full_bwd_kernel(e_ref, x_ref, mask_ref, t_ref, dct_ref,
     accl = refs[42:58]
     accr = refs[58:74]
     acct = refs[74:84]
+    t_sc, u_sc, s1_sc, s2_sc = refs[84:88]  # VMEM layout-reset scratch
     g_sz, n, dn = x_ref.shape
     de_in = e_ref.shape[-1]
     dt = x_ref.dtype
@@ -1494,14 +1502,17 @@ def _edge_block_full_bwd_kernel(e_ref, x_ref, mask_ref, t_ref, dct_ref,
             ref[:] = jnp.zeros_like(ref)
 
     # ---- forward recompute (chains via _edge_side_bwd below; reductions +
-    # tail here) --------------------------------------------------------------
+    # tail here). Reduction results round-trip through VMEM scratch to reset
+    # Mosaic's replicated layout before feeding broadcasts/matmuls. ----------
     msg_l = _edge_side_chain(e, x, tvals, wl, g_sz, n, 1, dt)["msg"]
     de_out = msg_l.shape[-1]
-    t_per = (msg_l.reshape(g_sz, n, n, de_out) * mask4).sum(
-        axis=1).astype(dt)
+    t_sc[:] = (msg_l.reshape(g_sz, n, n, de_out) * mask4).sum(
+        axis=1).reshape(g_sz * n, de_out)
+    t_per = t_sc[:].reshape(g_sz, n, de_out).astype(dt)
     msg_r = _edge_side_chain(e, x, tvals, wr, g_sz, n, 2, dt)["msg"]
-    u_per = (msg_r.reshape(g_sz, n, n, de_out) * mask4).sum(
-        axis=2).astype(dt)
+    u_sc[:] = (msg_r.reshape(g_sz, n, n, de_out) * mask4).sum(
+        axis=2).reshape(g_sz * n, de_out)
+    u_per = u_sc[:].reshape(g_sz, n, de_out).astype(dt)
     tail = _edge_block_tail_fwd(e, x, wt, t_per, u_per, g_sz, n, dt)
 
     # ---- tail backward ------------------------------------------------------
@@ -1520,10 +1531,14 @@ def _edge_block_full_bwd_kernel(e_ref, x_ref, mask_ref, t_ref, dct_ref,
     dbsf_r[:] += rsum(d_h)
 
     # node-FFN broadcast paths: left by ROW index (broadcast over axis 2),
-    # right by COL index (broadcast over axis 1)
+    # right by COL index (broadcast over axis 1). The two axis sums are
+    # shared with the reduction cotangents below; each round-trips through
+    # scratch once to reset the layout.
     d_h4 = d_h.reshape(g_sz, n, n, de_out)
-    d_projl = d_h4.sum(axis=2).reshape(g_sz * n, de_out)
-    d_projr = d_h4.sum(axis=1).reshape(g_sz * n, de_out)
+    s2_sc[:] = d_h4.sum(axis=2).reshape(g_sz * n, de_out)
+    s1_sc[:] = d_h4.sum(axis=1).reshape(g_sz * n, de_out)
+    d_projl = s2_sc[:]
+    d_projr = s1_sc[:]
     d_x_projl = dot(d_projl.astype(dt), wnl.T)
     d_x_projr = dot(d_projr.astype(dt), wnr.T)
     dwnl_r[:] += dot(x_f.T, d_projl)
@@ -1533,8 +1548,8 @@ def _edge_block_full_bwd_kernel(e_ref, x_ref, mask_ref, t_ref, dct_ref,
 
     # reduction cotangents: t_b[g,i,j] = t_per[g,i] and t = sum over axis 1
     # -> d_red_l broadcasts over axis 1 of the pair grid; u symmetric.
-    d_red_l = d_h4.sum(axis=2).reshape(g_sz, 1, n, de_out)
-    d_red_r = d_h4.sum(axis=1).reshape(g_sz, n, 1, de_out)
+    d_red_l = d_projl.reshape(g_sz, 1, n, de_out)
+    d_red_r = d_projr.reshape(g_sz, n, 1, de_out)
     de_l, dx_l, dtm_l, dm_l = _edge_side_bwd(
         wl, accl, d_red_l, 1, e, x, e_f, x_f, tvals, mask4, g_sz, n, dt)
     de_r, dx_r, dtm_r, dm_r = _edge_side_bwd(
@@ -1603,6 +1618,7 @@ def _pallas_edge_block_full(params, h_bond, h_node, bond_time, pair_mask,
         in_specs=in_specs,
         out_specs=[cell((g_sz, n * n, de_out))],
         out_shape=[jax.ShapeDtypeStruct((b, n * n, de_out), dt)],
+        scratch_shapes=[pltpu.VMEM((g_sz * n, de_out), jnp.float32)] * 2,
         interpret=interpret or INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
@@ -1660,6 +1676,7 @@ def _pallas_edge_block_full_bwd(params, h_bond, h_node, bond_time, pair_mask,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((g_sz * n, de_out), jnp.float32)] * 4,
         interpret=interpret or INTERPRET,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
