@@ -1,0 +1,62 @@
+"""Round-4 evidence soaks in ONE process so the cold chain compiles are
+shared (the axon tunnel caches compiles per process only; a fresh process
+pays ~8-10 min per bucket again).
+
+Runs, in order (after the 1k gate has passed separately):
+  1. 10k unguided, reference acceptance  -> results/soak_v2_10k.json
+  2. 1k unguided+guided in the EDM (add_edge distance) regime — the
+     guided-win evidence -> results/soak_v2_1k_edm.json
+The unguided EDM run reuses the unguided bucket compiles from (1):
+add_edge/sanitize_mode are host-side classification knobs only.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.quality_soak import main as soak_main
+
+COMMON = [
+    "--logdir", ".",
+    "--denoiser_prefix", "logs_r4/v2_xlft2",
+    "--bp_prefix", "logs_r4_bp/bondpred_v2",
+    "--dataset_root", "./data/synthetic_xl2",
+    "--outdir", "./outputs_r4",
+    "--recon_workers", "8",
+]
+
+def main():
+    # 1k gates first (EMA vs raw weights) — pick the better for the 10k
+    soak_main(COMMON + [
+        "--num_mols", "1000", "--no_guided",
+        "--evidence", "results/soak_v2x2_1k.json",
+    ])
+    soak_main(COMMON + [
+        "--num_mols", "1000", "--no_guided", "--use_ema",
+        "--evidence", "results/soak_v2x2_1k_ema.json",
+    ])
+    soak_main(COMMON + [
+        "--num_mols", "10000", "--no_guided",
+        "--evidence", "results/soak_v2_10k.json",
+    ])
+    soak_main(COMMON + [
+        "--num_mols", "1000", "--add_edge", "distance",
+        "--evidence", "results/soak_v2_1k_edm.json",
+    ])
+
+    # acceptance-parity delta on the 10k pool (host-side, VERDICT r3 #2)
+    import glob
+    import subprocess
+
+    runs = sorted(glob.glob("outputs_r4/soak_unguided_2*"))
+    big = max(runs, key=lambda d: os.path.getmtime(d)) if runs else None
+    if big:
+        subprocess.run([sys.executable, "scripts/reclassify_pool.py", big,
+                        "--workers", "8",
+                        "--json", "results/acceptance_parity_10k.json"])
+
+
+if __name__ == "__main__":
+    main()
