@@ -64,10 +64,12 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                if recon_workers else {}),
             **({"sanitize_mode": sanitize_mode} if sanitize_mode else {}),
             **({"add_edge": add_edge} if add_edge else {}),
-            # cap the bucket ladder at 40: a 2.7-sigma size draw under the
-            # GEOM stats would otherwise trigger a cold ~10-min chain
-            # compile of the 48 bucket for ~3 molecules per 1000
-            "buckets": [16, 24, 32, 40],
+            # two buckets only: every bucket a drawn size lands in costs a
+            # cold ~8-10 min chain compile (unguided AND guided variants) on
+            # the axon tunnel; [32, 40] covers the full GEOM size range
+            # (sizes clip at 40) at 2 compiles instead of 4-5, trading a
+            # little padding throughput on small molecules
+            "buckets": [32, 40],
         },
     }
     if bp_ckpt:
