@@ -37,11 +37,30 @@ def main():
         "--num_mols", "1000", "--no_guided", "--use_ema",
         "--evidence", "results/soak_v2x2_1k_ema.json",
     ])
-    soak_main(COMMON + [
+
+    # pick EMA vs raw for the committed-headline legs from the 1k gates
+    import json
+
+    def gate_success(path):
+        try:
+            with open(path) as f:
+                ev = json.load(f)
+            runs = ev.get("runs", {})
+            return next(iter(runs.values())).get("success_rate", 0.0)
+        except Exception:
+            return 0.0
+
+    raw_s = gate_success("results/soak_v2x2_1k.json")
+    ema_s = gate_success("results/soak_v2x2_1k_ema.json")
+    ema_flag = ["--use_ema"] if ema_s > raw_s else []
+    print(f"[r4] 1k gates: raw={raw_s:.4f} ema={ema_s:.4f} "
+          f"-> headline uses {'EMA' if ema_flag else 'raw'} weights")
+
+    soak_main(COMMON + ema_flag + [
         "--num_mols", "10000", "--no_guided",
         "--evidence", "results/soak_v2_10k.json",
     ])
-    soak_main(COMMON + [
+    soak_main(COMMON + ema_flag + [
         "--num_mols", "1000", "--add_edge", "distance",
         "--evidence", "results/soak_v2_1k_edm.json",
     ])
@@ -50,8 +69,11 @@ def main():
     import glob
     import subprocess
 
-    runs = sorted(glob.glob("outputs_r4/soak_unguided_2*"))
-    big = max(runs, key=lambda d: os.path.getmtime(d)) if runs else None
+    runs = [d for d in glob.glob("outputs_r4/soak_unguided*")
+            if os.path.exists(os.path.join(d, "samples_all.pkl"))]
+    # the 10k run = the biggest pool on disk
+    big = max(runs, key=lambda d: os.path.getsize(
+        os.path.join(d, "samples_all.pkl"))) if runs else None
     if big:
         subprocess.run([sys.executable, "scripts/reclassify_pool.py", big,
                         "--workers", "8",
