@@ -39,8 +39,9 @@ def test_v2_ckpt_contract(ckpt):
     """Distribution format (scripts/strip_checkpoint.py): full reference
     architecture (node_dim 256, 6 blocks, T=1000), resume state stripped,
     f16 storage upcast on load. Trained on the aromatic corpus v2
-    (160k seed + 60k fine-tune, configs/train/train_v2_xlft.yml)."""
-    assert ckpt["step"] == 220000
+    (160k round-3 seed + 60k fine-tune + 80k extended,
+    configs/train/train_v2_xlft{,2}.yml)."""
+    assert ckpt["step"] == 300000
     assert ckpt["opt_state"] is None and ckpt["scheduler"] is None
     for leaf in jax.tree.leaves(ckpt["params"]):
         assert leaf.dtype != np.float16
