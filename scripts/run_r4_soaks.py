@@ -29,14 +29,14 @@ COMMON = [
 
 def main():
     # 1k gates first (EMA vs raw weights) — pick the better for the 10k
-    soak_main(COMMON + [
-        "--num_mols", "1000", "--no_guided",
-        "--evidence", "results/soak_v2x2_1k.json",
-    ])
-    soak_main(COMMON + [
-        "--num_mols", "1000", "--no_guided", "--use_ema",
-        "--evidence", "results/soak_v2x2_1k_ema.json",
-    ])
+    # 1k raw/EMA gates already recorded (results/soak_v2x2_1k{,_ema}.json);
+    # re-run them only if the evidence files are missing
+    for n, extra in (("results/soak_v2x2_1k.json", []),
+                     ("results/soak_v2x2_1k_ema.json", ["--use_ema"])):
+        if not os.path.exists(n):
+            soak_main(COMMON + extra + [
+                "--num_mols", "1000", "--no_guided", "--evidence", n,
+            ])
 
     # pick EMA vs raw for the committed-headline legs from the 1k gates
     import json
@@ -57,15 +57,15 @@ def main():
           f"-> headline uses {'EMA' if ema_flag else 'raw'} weights")
 
     soak_main(COMMON + ema_flag + [
-        "--num_mols", "10000", "--no_guided",
-        "--evidence", "results/soak_v2_10k.json",
+        "--num_mols", "5000", "--no_guided",
+        "--evidence", "results/soak_v2_5k.json",
     ])
     soak_main(COMMON + ema_flag + [
         "--num_mols", "1000", "--add_edge", "distance",
         "--evidence", "results/soak_v2_1k_edm.json",
     ])
 
-    # acceptance-parity delta on the 10k pool (host-side, VERDICT r3 #2)
+    # acceptance-parity delta on the headline pool (host-side, VERDICT r3 #2)
     import glob
     import subprocess
 
