@@ -400,6 +400,7 @@ class MolDiff:
         pos_sampler: str = "ddpm",
         eta: float = 0.0,
         respace_gamma: float = 1.0,
+        commit: str = "none",
     ) -> SampleResult:
         """Full T-step ancestral reverse sampler as one lax.scan.
 
@@ -416,6 +417,22 @@ class MolDiff:
         ``num_steps``: respaced reverse chain on S << T evenly-spaced
         timesteps (ops/respace.py) — throughput scales ~T/S. Framework
         extension — not in the reference.
+
+        ``commit``: carry-over unmasking for the categorical chains
+        ('none' | 'nodes' | 'edges' | 'both'). The reference's recursive
+        posterior never locks a drawn class in: the carried log-posterior is
+        a product of the model's per-step v0 predictions, so when those are
+        near-marginal (uninformative per atom) the product collapses every
+        atom onto the MODAL class (measured round-5: generated pools 98.9%
+        carbon vs 74.6% corpus; results/diag_calibration_v2.json). With
+        commit, the first non-sentinel draw of an atom (mask class,
+        'tomask') or half-edge ('none' class 0, 'absorb') clamps that
+        element's v0 input to the posterior recursion for the rest of the
+        chain — the discrete analogue of masked-diffusion carry-over
+        unmasking (SUBS zero-masking). Reveals then follow the model's
+        CALIBRATED p(v0 | context) at reveal time and stay fixed, and later
+        steps condition on stable identities. Framework extension — not in
+        the reference ('none' is reference-exact).
         """
         b, n = node_mask.shape
         e = graph_ops.num_halfedges(n)
@@ -450,12 +467,14 @@ class MolDiff:
             params, node_mask, guidance, bond_predictor, save_traj,
             guidance_interval=guidance_interval,
             transitions=transitions, t_map=t_map,
-            pos_sampler=pos_sampler, eta=eta,
+            pos_sampler=pos_sampler, eta=eta, commit=commit,
         )
-        init = (pos, h_node, h_halfedge, log_node, log_halfedge, zero_preds, k_scan)
+        committed = self._commit_init(b, n, e)
+        init = (pos, h_node, h_halfedge, log_node, log_halfedge, committed,
+                zero_preds, k_scan)
         steps = jnp.arange(T - 1, -1, -1)
         carry, ys = jax.lax.scan(body, init, steps)
-        preds = carry[5]
+        preds = carry[6]
         traj = None
         if save_traj:
             # prepend the prior state, matching reference traj[0] = init
@@ -465,10 +484,20 @@ class MolDiff:
             )
         return SampleResult(preds.pred_node, preds.pred_pos, preds.pred_halfedge, traj)
 
+    def _commit_init(self, b: int, n: int, e: int):
+        """Initial commit state: -1 = not yet revealed (models/moldiff.py
+        sample ``commit``). Always threaded through the carry so the scan
+        structure is identical with commit off (XLA DCEs the unused lanes)."""
+        return (
+            jnp.full((b, n), -1, dtype=jnp.int32),
+            jnp.full((b, e), -1, dtype=jnp.int32),
+        )
+
     def _make_scan_body(self, params, node_mask, guidance, bond_predictor,
                         save_traj: bool, guidance_interval: int = 1,
                         transitions=None, t_map=None,
-                        pos_sampler: str = "ddpm", eta: float = 0.0):
+                        pos_sampler: str = "ddpm", eta: float = 0.0,
+                        commit: str = "none"):
         """One reverse step of the discrete sampler (shared by the single
         lax.scan and the chunked variant). Reference model.py:271-367.
 
@@ -486,9 +515,18 @@ class MolDiff:
         )
         if pos_sampler not in ("ddpm", "ddim"):
             raise ValueError(f"unknown pos_sampler: {pos_sampler}")
+        if commit not in ("none", "nodes", "edges", "both"):
+            raise ValueError(f"unknown commit mode: {commit}")
+        commit_nodes = commit in ("nodes", "both")
+        commit_edges = commit in ("edges", "both")
+        node_sentinel = self.num_node_types - 1  # 'tomask': mask is last
+        edge_sentinel = 0                        # 'absorb': class 0 = no bond
+        _node_pi = jnp.asarray(node_tr.init_prob, dtype=jnp.float32)
+        _edge_pi = jnp.asarray(edge_tr.init_prob, dtype=jnp.float32)
 
         def body(carry, step):
-            pos, h_node, h_halfedge, log_node, log_halfedge, _, key = carry
+            (pos, h_node, h_halfedge, log_node, log_halfedge,
+             (com_node, com_edge), _, key) = carry
             key, k_pos, k_node, k_edge = jax.random.split(key, 4)
             t = jnp.full((b,), step, dtype=jnp.int32)
             t_model = t if t_map is None else jnp.full((b,), t_map[step], jnp.int32)
@@ -505,18 +543,74 @@ class MolDiff:
                 )
 
             log_node_recon = jax.nn.log_softmax(preds.pred_node, axis=-1)
+            if commit_nodes:
+                # carry-over unmasking: a revealed atom's v0 input to the
+                # posterior recursion is its committed class, not the
+                # model's (possibly uninformative) fresh prediction
+                log_node_recon = jnp.where(
+                    (com_node >= 0)[..., None],
+                    index_to_log_onehot(
+                        jnp.maximum(com_node, 0), self.num_node_types),
+                    log_node_recon,
+                )
             log_node_new = node_tr.q_v_posterior(
                 log_node_recon, log_node, t, v0_prob=True
             )
             node_type_prev = log_sample_categorical(log_node_new, k_node)
+            if commit_nodes:
+                # gate on the reveal jump being MODEL-driven: the jump lands
+                # on class x with prob ∝ abar_{t-1} p(v0=x) + (1-abar) π_x.
+                # Freeze the draw only when the model term dominates the
+                # uniform prior-leak term FOR THE DRAWN CLASS (per-draw
+                # Bayes factor); leak draws keep flickering like the
+                # reference chain. Committing model-driven draws is the
+                # masked-diffusion carry-over-unmasking semantics.
+                abar_n = node_tr.alphas_bar[jnp.maximum(step - 1, 0)]
+                p_drawn = jnp.take_along_axis(
+                    jnp.exp(log_node_recon), node_type_prev[..., None], axis=-1
+                )[..., 0]
+                pi_drawn = _node_pi[node_type_prev]
+                com_node = jnp.where(
+                    (com_node < 0) & (node_type_prev != node_sentinel)
+                    & (abar_n * p_drawn > (1.0 - abar_n) * pi_drawn),
+                    node_type_prev, com_node,
+                )
+                # committed atoms never flip back in the sampled stream
+                node_type_prev = jnp.where(com_node >= 0, com_node, node_type_prev)
             h_node_prev = node_tr.onehot_encode(node_type_prev)
 
             log_edge_recon = jax.nn.log_softmax(preds.pred_halfedge, axis=-1)
+            if commit_edges:
+                log_edge_recon = jnp.where(
+                    (com_edge >= 0)[..., None],
+                    index_to_log_onehot(
+                        jnp.maximum(com_edge, 0), self.num_edge_types),
+                    log_edge_recon,
+                )
             log_halfedge_new = edge_tr.q_v_posterior(
                 log_edge_recon, log_halfedge, t, v0_prob=True
             )
             halfedge_type_prev = log_sample_categorical(log_halfedge_new, k_edge)
+            if commit_edges:
+                abar_e = edge_tr.alphas_bar[jnp.maximum(step - 1, 0)]
+                p_drawn_e = jnp.take_along_axis(
+                    jnp.exp(log_edge_recon), halfedge_type_prev[..., None],
+                    axis=-1,
+                )[..., 0]
+                pi_drawn_e = _edge_pi[halfedge_type_prev]
+                com_edge = jnp.where(
+                    (com_edge < 0) & (halfedge_type_prev != edge_sentinel)
+                    & (abar_e * p_drawn_e > (1.0 - abar_e) * pi_drawn_e),
+                    halfedge_type_prev, com_edge,
+                )
+                halfedge_type_prev = jnp.where(
+                    com_edge >= 0, com_edge, halfedge_type_prev)
             h_halfedge_prev = edge_tr.onehot_encode(halfedge_type_prev)
+            if commit_nodes or commit_edges:
+                # decode reads the final preds: expose the clamped v0 views
+                # so argmax decode agrees with the committed identities
+                preds = MolDiffPreds(
+                    log_node_recon, preds.pred_pos, log_edge_recon)
 
             if guidance is not None:
                 gui_type, gui_scale = guidance
@@ -557,7 +651,8 @@ class MolDiff:
 
             carry = (
                 pos_prev, h_node_prev, h_halfedge_prev,
-                log_node_new, log_halfedge_new, preds, key,
+                log_node_new, log_halfedge_new, (com_node, com_edge),
+                preds, key,
             )
             ys = (h_node_prev, pos_prev, h_halfedge_prev) if save_traj else None
             return carry, ys
@@ -580,6 +675,7 @@ class MolDiff:
         pos_sampler: str = "ddpm",
         eta: float = 0.0,
         respace_gamma: float = 1.0,
+        commit: str = "none",
     ) -> SampleResult:
         """The T-step reverse chain as T/chunk_size sequential jitted scans
         with the carry threaded on host.
@@ -626,7 +722,7 @@ class MolDiff:
         gui_scale = float(guidance[1]) if guidance is not None else 0.0
         cache_key = (b, n, chunk_size, gui_type, bond_predictor is not None,
                      guidance_interval, save_traj, num_steps,
-                     pos_sampler, float(eta), float(respace_gamma))
+                     pos_sampler, float(eta), float(respace_gamma), commit)
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
         if cache_key not in self._chunk_fns:
@@ -638,14 +734,16 @@ class MolDiff:
                     save_traj=save_traj,
                     guidance_interval=guidance_interval,
                     transitions=transitions, t_map=t_map,
-                    pos_sampler=pos_sampler, eta=eta,
+                    pos_sampler=pos_sampler, eta=eta, commit=commit,
                 )
                 return jax.lax.scan(body, carry, steps)
 
             self._chunk_fns[cache_key] = jax.jit(chunk_fn)
         fn = self._chunk_fns[cache_key]
 
-        carry = (pos, h_node, h_halfedge, log_node, log_halfedge, zero_preds, k_scan)
+        committed = self._commit_init(b, n, e)
+        carry = (pos, h_node, h_halfedge, log_node, log_halfedge, committed,
+                 zero_preds, k_scan)
         if data_sharding is not None:
             # place batch-major leaves on the mesh; jit follows input
             # placement, so every chunk runs sharded over 'data'
@@ -653,6 +751,7 @@ class MolDiff:
             carry = (
                 shard(pos), shard(h_node), shard(h_halfedge),
                 shard(log_node), shard(log_halfedge),
+                tuple(shard(x) for x in committed),
                 MolDiffPreds(*(shard(x) for x in zero_preds)), k_scan,
             )
             node_mask = shard(node_mask)
@@ -668,7 +767,7 @@ class MolDiff:
                 # pull each chunk's stacked states to host so device memory
                 # stays bounded by one chunk
                 traj_chunks.append(tuple(np.asarray(y) for y in ys))
-        preds = carry[5]
+        preds = carry[6]
         traj = None
         if save_traj:
             traj = tuple(

@@ -106,6 +106,13 @@ class CategoricalTransition:
             q_mats[t] = acc
 
         self.betas = jnp.asarray(betas, dtype=jnp.float32)
+        # identity-coefficient of q_mats[t] (the family beta*1 prior^T +
+        # (1-beta) I is closed under products with alpha_bar = prod(1-beta)):
+        # the fraction of q(v_t|v_0) mass still carrying v_0's identity.
+        # Used by the sampler's commit gate (models/moldiff.py).
+        self.alphas_bar = jnp.asarray(
+            np.cumprod(1.0 - betas), dtype=jnp.float32
+        )
         self.q_mats = jnp.asarray(q_mats, dtype=jnp.float32)  # [T, K, K]
         self.transpose_q_onestep_mats = jnp.asarray(
             np.transpose(q_one_step, (0, 2, 1)), dtype=jnp.float32

@@ -50,6 +50,7 @@ class MolSampler:
         respace_gamma: float = 1.0,
         recon_workers: int = 0,
         sanitize_mode: str = "reference",
+        commit: str = "none",
     ):
         self.model = model
         self.featurizer = featurizer
@@ -88,6 +89,10 @@ class MolSampler:
         # spacing warp for the respaced chain (ops/respace.py: gamma > 1
         # concentrates steps near t=0, the late-denoising phase)
         self.respace_gamma = float(respace_gamma)
+        # carry-over unmasking for the categorical chains
+        # (models/moldiff.py sample ``commit``): 'none' | 'nodes' | 'edges'
+        # | 'both'. 'none' is reference-exact.
+        self.commit = commit
         # host-side reconstruction workers: 0/1 = serial. The device chain
         # is ~1.25 ms/mol of host sanitize work away from the pool; at
         # respaced (~127 mols/s/chip) or multi-chip throughput the serial
@@ -145,6 +150,7 @@ class MolSampler:
                         num_steps=self.num_steps,
                         pos_sampler=self.pos_sampler, eta=self.eta,
                         respace_gamma=self.respace_gamma,
+                        commit=self.commit,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -171,6 +177,7 @@ class MolSampler:
                         num_steps=self.num_steps,
                         pos_sampler=self.pos_sampler, eta=self.eta,
                         respace_gamma=self.respace_gamma,
+                        commit=self.commit,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -194,6 +201,7 @@ class MolSampler:
                     num_steps=self.num_steps,
                     pos_sampler=self.pos_sampler, eta=self.eta,
                     respace_gamma=self.respace_gamma,
+                    commit=self.commit,
                 )
                 return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 

@@ -80,6 +80,11 @@ def main(argv=None):
                     help="acceptance semantics of the sanitize cascade "
                          "(default: sample.sanitize_mode or 'reference' — "
                          "the reference-exact fix_aromatic search)")
+    ap.add_argument("--commit", choices=["none", "nodes", "edges", "both"],
+                    default=None,
+                    help="carry-over unmasking for the categorical chains "
+                         "(default: sample.commit or 'none' = reference-"
+                         "exact recursive posterior)")
     ap.add_argument("--recon_workers", type=int, default=None,
                     help="parallel host-side reconstruction workers "
                          "(0/1 = serial; default from sample.recon_workers)")
@@ -250,6 +255,11 @@ def main(argv=None):
         # search; the headline metric) or "repo" (chem/sanitize.py)
         sanitize_mode=args.sanitize_mode
         or str(config.sample.get("sanitize_mode", "reference") or "reference"),
+        # framework extension: carry-over unmasking for the categorical
+        # chains (models/moldiff.py sample ``commit``); 'none' =
+        # reference-exact recursive posterior
+        commit=args.commit
+        or str(config.sample.get("commit", "none") or "none"),
         **size_kw,
     )
     key = jax.random.key(config.sample.seed)
