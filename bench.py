@@ -64,7 +64,7 @@ def bench_train(batch: int, n: int, remat_policy: str = "none"):
 
     tokens = [t for t in remat_policy.split(",") if t]
     kernel_tokens = {t for t in tokens
-                     if t in ("pallas", "pallas_bwd", "edge_partial")}
+                     if t in ("pallas", "pallas_bwd", "edge_partial", "edge_full")}
     remat_tokens = [t for t in tokens if t not in kernel_tokens]
     remat_policy = remat_tokens[0] if remat_tokens else "none"
 
@@ -73,9 +73,11 @@ def bench_train(batch: int, n: int, remat_policy: str = "none"):
     if kernel_tokens:
         cfg["denoiser"]["use_pallas"] = True
         cfg["denoiser"]["pallas_bwd"] = "pallas_bwd" in kernel_tokens
-        # edge_partial: round-3 partial EdgeBlock kernel (fused chains,
-        # XLA tail) instead of the full-EdgeBlock kernel — A/B lever
-        cfg["denoiser"]["edge_full"] = "edge_partial" not in kernel_tokens
+        # edge_full: opt-in full-EdgeBlock kernel (measured LOSS vs the
+        # round-3 partial kernel: results/bench_train_full_* vs _partial_*,
+        # 7.32 vs 8.33 steps/s remat / 7.97 vs 8.93 off); 'edge_partial'
+        # kept as an explicit no-op token for the recorded A/B commands
+        cfg["denoiser"]["edge_full"] = "edge_full" in kernel_tokens
     if remat_policy == "off":
         cfg["denoiser"]["remat"] = False
     else:

@@ -211,7 +211,7 @@ def init_edge_block(key, edge_dim, node_dim, use_gate):
 
 def edge_block(p, h_bond, h_node, bond_time, pair_mask,
                edge_pre: Optional[dict] = None, pallas_bwd: bool = False,
-               edge_full: bool = True):
+               edge_full: bool = False):
     """h_bond: [B,N,N,De] directed edge (i<-j is [b,i,j]); h_node: [B,N,Dn].
 
     Reference graph.py:268-295: edge<->edge interaction through shared
@@ -388,7 +388,10 @@ def denoiser_static_config(
     remat_policy: str = "none",
     use_pallas: bool = False,
     pallas_bwd: bool = False,
-    edge_full: bool = True,
+    # full-EdgeBlock kernel is a measured LOSS vs the partial kernel on
+    # real v5e: 7.32 vs 8.33 steps/s (remat) and 7.97 vs 8.93 (remat off),
+    # results/bench_train_{full,partial}_{remat,off}.log — default off
+    edge_full: bool = False,
     fuse_block: bool = False,
     fuse_edge: bool = False,
     moe=None,
@@ -571,7 +574,7 @@ def apply_block(
             blk["edge_block"], h_edge_i, h_node, edge_time, pair_mask,
             edge_pre=pre if fuse_edge else None,
             pallas_bwd=use_pallas and static.get("pallas_bwd", False),
-            edge_full=static.get("edge_full", True),
+            edge_full=static.get("edge_full", False),
         )
     h_node = h_node + h_node_delta
     if update_pos:

@@ -76,20 +76,25 @@ def fields(buf: bytes):
 
 
 def parse_xplane(path: str):
-    """-> list of planes: {name, total_ps, ops: {op_name: total_ps},
-    n_events}."""
+    """-> list of planes: {name, lines: [{name, total_ps,
+    ops: {op_name: total_ps}, n_events}]}.
+
+    Durations are aggregated PER XLine: real TPU/host planes carry several
+    overlapping lines (XLA Modules / XLA Ops / Steps), so a plane-level sum
+    double-counts and dilutes per-op fractions (round-4 advisor finding).
+    """
     with open(path, "rb") as f:
         space = f.read()
     planes = []
     for fno, wt, v in fields(space):
         if fno != 1 or wt != 2:
             continue
-        name, lines, emeta = "", [], {}
+        name, raw_lines, emeta = "", [], {}
         for pf, pw, pv in fields(v):
             if pf == 2 and pw == 2:
                 name = pv.decode("utf-8", "replace")
             elif pf == 3 and pw == 2:
-                lines.append(pv)
+                raw_lines.append(pv)
             elif pf == 4 and pw == 2:  # map<int64, XEventMetadata>
                 k, meta_name = None, ""
                 for mf, mw, mv in fields(pv):
@@ -101,24 +106,32 @@ def parse_xplane(path: str):
                                 meta_name = ev.decode("utf-8", "replace")
                 if k is not None:
                     emeta[k] = meta_name
-        ops = defaultdict(int)
-        total = 0
-        n_events = 0
-        for line in lines:
+        lines = []
+        for line in raw_lines:
+            # XLine: name=2, display_name=11, events=4
+            lname, ldisp = "", ""
+            ops = defaultdict(int)
+            total = 0
+            n_events = 0
             for lf, lw, lv in fields(line):
-                if lf != 4 or lw != 2:
-                    continue
-                mid, dur = 0, 0
-                for ef, ew, ev in fields(lv):
-                    if ef == 1 and ew == 0:
-                        mid = ev
-                    elif ef == 3 and ew == 0:
-                        dur = ev
-                ops[emeta.get(mid, f"#{mid}")] += dur
-                total += dur
-                n_events += 1
-        planes.append({"name": name, "total_ps": total,
-                       "ops": dict(ops), "n_events": n_events})
+                if lf == 2 and lw == 2:
+                    lname = lv.decode("utf-8", "replace")
+                elif lf == 11 and lw == 2:
+                    ldisp = lv.decode("utf-8", "replace")
+                elif lf == 4 and lw == 2:
+                    mid, dur = 0, 0
+                    for ef, ew, ev in fields(lv):
+                        if ef == 1 and ew == 0:
+                            mid = ev
+                        elif ef == 3 and ew == 0:
+                            dur = ev
+                    ops[emeta.get(mid, f"#{mid}")] += dur
+                    total += dur
+                    n_events += 1
+            if n_events:
+                lines.append({"name": ldisp or lname, "total_ps": total,
+                              "ops": dict(ops), "n_events": n_events})
+        planes.append({"name": name, "lines": lines})
     return planes
 
 
@@ -128,25 +141,42 @@ def is_device_plane(name: str) -> bool:
         and "host" not in low
 
 
-def report(paths, top=40):
+def _pick_op_line(plane):
+    """The line carrying per-op attribution: 'XLA Ops' when present (device
+    planes), else the busiest line. Returns None when the plane is empty."""
+    if not plane["lines"]:
+        return None
+    for ln in plane["lines"]:
+        if ln["name"].strip().lower() == "xla ops":
+            return ln
+    return max(plane["lines"], key=lambda ln: ln["total_ps"])
+
+
+def report(paths, top=40, all_lines=False):
+    """One report row per (plane, line) when ``all_lines``; otherwise one
+    row per plane from its op-attribution line (no cross-line
+    double-counting)."""
     out = {"files": [os.path.basename(p) for p in paths], "planes": []}
     for path in paths:
         for plane in parse_xplane(path):
-            if not plane["ops"]:
-                continue
-            ranked = sorted(plane["ops"].items(), key=lambda kv: -kv[1])
-            total = plane["total_ps"] or 1
-            out["planes"].append({
-                "plane": plane["name"],
-                "device": is_device_plane(plane["name"]),
-                "busy_ms": round(plane["total_ps"] / 1e9, 3),
-                "n_events": plane["n_events"],
-                "top_ops": [
-                    {"op": k, "ms": round(v / 1e9, 3),
-                     "frac": round(v / total, 4)}
-                    for k, v in ranked[:top]
-                ],
-            })
+            rows = plane["lines"] if all_lines else (
+                [ln for ln in [_pick_op_line(plane)] if ln is not None]
+            )
+            for ln in rows:
+                ranked = sorted(ln["ops"].items(), key=lambda kv: -kv[1])
+                total = ln["total_ps"] or 1
+                out["planes"].append({
+                    "plane": plane["name"],
+                    "line": ln["name"],
+                    "device": is_device_plane(plane["name"]),
+                    "busy_ms": round(ln["total_ps"] / 1e9, 3),
+                    "n_events": ln["n_events"],
+                    "top_ops": [
+                        {"op": k, "ms": round(v / 1e9, 3),
+                         "frac": round(v / total, 4)}
+                        for k, v in ranked[:top]
+                    ],
+                })
     return out
 
 
@@ -157,6 +187,9 @@ def main(argv=None):
     ap.add_argument("--json", default=None, help="write the report here")
     ap.add_argument("--device-only", action="store_true",
                     help="only device (TPU/GPU) planes")
+    ap.add_argument("--all-lines", action="store_true",
+                    help="one row per XLine instead of only each plane's "
+                         "op-attribution line")
     args = ap.parse_args(argv)
 
     if os.path.isdir(args.trace):
@@ -168,7 +201,7 @@ def main(argv=None):
         print(f"no *.xplane.pb under {args.trace}", file=sys.stderr)
         return 1
 
-    rep = report(paths, top=args.top)
+    rep = report(paths, top=args.top, all_lines=args.all_lines)
     if args.device_only:
         rep["planes"] = [p for p in rep["planes"] if p["device"]]
     if args.json:
@@ -177,8 +210,8 @@ def main(argv=None):
             json.dump(rep, f, indent=1)
         print(f"wrote {args.json}")
     for plane in rep["planes"]:
-        print(f"\n== {plane['plane']}  busy={plane['busy_ms']}ms "
-              f"events={plane['n_events']}")
+        print(f"\n== {plane['plane']} / {plane['line']}  "
+              f"busy={plane['busy_ms']}ms events={plane['n_events']}")
         for op in plane["top_ops"][:args.top]:
             print(f"  {op['frac']:7.2%}  {op['ms']:10.3f}ms  {op['op']}")
     return 0

@@ -41,8 +41,9 @@ def _xevent(metadata_id: int, dur_ps: int) -> bytes:
     return _field(1, 0, metadata_id) + _field(3, 0, dur_ps)
 
 
-def _xline(events) -> bytes:
-    return b"".join(_field(4, 2, e) for e in events)
+def _xline(events, name: str = "") -> bytes:
+    head = _field(2, 2, name.encode()) if name else b""
+    return head + b"".join(_field(4, 2, e) for e in events)
 
 
 def _event_meta(mid: int, name: str) -> bytes:
@@ -71,8 +72,10 @@ def test_decoder_aggregates_ops(tmp_path):
     assert len(planes) == 1
     p = planes[0]
     assert p["name"] == "/device:TPU:0"
-    assert p["n_events"] == 3
-    assert p["ops"] == {"fusion.42": 7_000_000, "custom-call.7": 3_000_000}
+    assert len(p["lines"]) == 1
+    ln = p["lines"][0]
+    assert ln["n_events"] == 3
+    assert ln["ops"] == {"fusion.42": 7_000_000, "custom-call.7": 3_000_000}
     assert is_device_plane(p["name"])
 
     rep = report([str(path)], top=10)
@@ -86,8 +89,41 @@ def test_unknown_metadata_id_is_labeled(tmp_path):
                     emeta=[])
     (tmp_path / "u.xplane.pb").write_bytes(_field(1, 2, plane))
     p = parse_xplane(str(tmp_path / "u.xplane.pb"))[0]
-    assert p["ops"] == {"#9": 1_000_000}
+    assert p["lines"][0]["ops"] == {"#9": 1_000_000}
     assert not is_device_plane(p["name"])
+
+
+def test_multi_line_planes_do_not_double_count(tmp_path):
+    """Round-4 advisor finding: device planes carry overlapping XLines (XLA
+    Modules / XLA Ops / Steps); summing across lines double-counts busy time
+    and dilutes per-op fractions. The report must aggregate per line and
+    pick the 'XLA Ops' line for attribution."""
+    module_line = _xline([_xevent(3, 10_000_000)], name="XLA Modules")
+    ops_line = _xline([_xevent(1, 6_000_000), _xevent(2, 4_000_000)],
+                      name="XLA Ops")
+    steps_line = _xline([_xevent(4, 10_000_000)], name="Steps")
+    plane = _xplane(
+        "/device:TPU:0", lines=[module_line, ops_line, steps_line],
+        emeta=[_event_meta(1, "fusion.1"), _event_meta(2, "fusion.2"),
+               _event_meta(3, "jit_train_step"), _event_meta(4, "step0")],
+    )
+    path = tmp_path / "m.xplane.pb"
+    path.write_bytes(_field(1, 2, plane))
+
+    p = parse_xplane(str(path))[0]
+    assert {ln["name"] for ln in p["lines"]} == {
+        "XLA Modules", "XLA Ops", "Steps"}
+
+    rep = report([str(path)], top=10)
+    assert len(rep["planes"]) == 1          # one row: the XLA Ops line
+    row = rep["planes"][0]
+    assert row["line"] == "XLA Ops"
+    assert row["busy_ms"] == pytest.approx(0.01)   # 1e7 ps = 0.01 ms
+    assert row["top_ops"][0]["op"] == "fusion.1"
+    assert row["top_ops"][0]["frac"] == pytest.approx(0.6)
+
+    rep_all = report([str(path)], top=10, all_lines=True)
+    assert len(rep_all["planes"]) == 3
 
 
 @pytest.mark.slow
@@ -108,6 +144,6 @@ def test_roundtrip_real_cpu_trace(tmp_path):
                    check=True)
     out = subprocess.run(
         [sys.executable, "scripts/trace_report.py", str(tmp_path),
-         "--top", "5"],
+         "--top", "5", "--all-lines"],
         cwd=REPO, env=env, capture_output=True, text=True, check=True)
     assert "busy=" in out.stdout
