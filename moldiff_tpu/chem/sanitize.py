@@ -372,6 +372,15 @@ def fix_aromatic_reference(mol: Mol, strict: bool = False) -> Tuple[Optional[Mol
     generated molecule with many ring N is exponential); realistic
     molecules have <=4-6 ring heteroatoms per system so the cap is
     unreachable in the measured soaks.
+
+    Ring-system grouping deviation: ``_ring_systems`` computes TRANSITIVE
+    connected components of ring bonds, while the reference's get_ring_sys
+    (utils/reconstruct.py:277-293) merges each SSSR ring into only the
+    FIRST overlapping system (non-transitive, iteration-order-dependent) —
+    on a multiply-fused system the reference can split what is chemically
+    one system into several, changing the one-atom-per-system enumeration
+    in rare cases. The transitive grouping is kept deliberately: it is
+    order-independent and matches the chemical notion of a fused system.
     """
     arom_atoms = {i for b in mol.bonds if b.order == AROMATIC
                   for i in (b.i, b.j)}

@@ -132,15 +132,21 @@ def get_metric(mols: Sequence[Mol], metric: str, parallel: bool = False,
 
 # -- validity ----------------------------------------------------------------
 
-def calculate_validity(decoded_list: Sequence[dict]) -> Dict[str, float]:
+def calculate_validity(decoded_list: Sequence[dict],
+                       sanitize_mode: str = "reference") -> Dict[str, float]:
     """From decoded generator outputs: validity = (ok + disconnect) / all,
-    connectivity = ok / (ok + disconnect) (reference :333-366)."""
+    connectivity = ok / (ok + disconnect) (reference :333-366).
+
+    ``sanitize_mode`` must match the acceptance the pool was generated
+    under, or validity.json silently disagrees with the run's summary.json
+    in the same evidence file (round-4 advisor finding)."""
     n_ok = n_disc = n_bad = 0
     for decoded in decoded_list:
         try:
             mol = reconstruct_from_generated(
                 decoded["element"], decoded["atom_pos"],
                 decoded.get("bond_index"), decoded.get("bond_type"),
+                mode=sanitize_mode,
             )
             if mol.is_connected():
                 n_ok += 1

@@ -76,6 +76,16 @@ class MolDiff:
         # categorical KLs — model.py:174-185): extra multiplier on the edge
         # KL for fine-tunes targeting the edge head. 1.0 = reference loss.
         self.edge_loss_scale = float(config.get("edge_loss_scale", 1.0))
+        # extension knob (not in the reference): auxiliary cross-entropy of
+        # the v0 heads against the CLEAN classes over ALL real elements.
+        # The D3PM posterior KL gives ~zero gradient through elements whose
+        # v_t is already revealed (the posterior is a delta at the revealed
+        # class regardless of the prediction), so the v0 heads never learn
+        # the identity copy — the round-5 root cause of the element-marginal
+        # collapse (results/diag_calibration_v2.json: revealed-heteroatom
+        # accuracy 0.0-0.43 at any t). This CE supervises exactly that
+        # conditional. 0.0 = reference loss.
+        self.v0_ce_scale = float(config.get("v0_ce_scale", 0.0))
 
         diff = config["diff"]
         self.num_timesteps = diff["num_timesteps"]
@@ -310,6 +320,18 @@ class MolDiff:
                 log_edge_post_true, log_edge_post_pred, log_halfedge_0, t
             )
             loss_edge = masked_mean(kl_edge, halfedge_mask) * 100.0 * self.edge_loss_scale
+
+            if self.v0_ce_scale > 0:
+                ce_node = -jnp.take_along_axis(
+                    log_node_recon, node_type[..., None], axis=-1
+                )[..., 0]
+                ce_edge = -jnp.take_along_axis(
+                    log_edge_recon, halfedge_type[..., None], axis=-1
+                )[..., 0]
+                losses["loss_v0ce"] = self.v0_ce_scale * (
+                    masked_mean(ce_node, node_mask)
+                    + masked_mean(ce_edge, halfedge_mask)
+                )
         else:
             # continuous: MSE to the scaled one-hots x30
             # (reference model.py:186-189)
@@ -329,6 +351,7 @@ class MolDiff:
             )
         loss_total = (loss_pos + loss_node + loss_edge
                       + losses.get("loss_len", 0.0)
+                      + losses.get("loss_v0ce", 0.0)
                       + losses.get("loss_moe", 0.0))
         losses.update(
             loss=loss_total, loss_pos=loss_pos, loss_node=loss_node, loss_edge=loss_edge

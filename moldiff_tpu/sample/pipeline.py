@@ -500,9 +500,15 @@ def classify_decoded(decoded: dict, add_edge: Optional[str] = None,
             from ..chem.bond_perception import mol_from_positions
             from ..chem.sanitize import sanitize
 
-            mol = sanitize(mol_from_positions(
-                decoded["element"], decoded["atom_pos"]
-            ))
+            # distance-perceived bonds carry no aromatic class, so the fix
+            # cascade has nothing to search — but the sanitize acceptance
+            # itself must still follow sanitize_mode (reference = RDKit-
+            # faithful, no invented [nH]; round-4 advisor finding: the knob
+            # was silently inert on this path)
+            mol = sanitize(
+                mol_from_positions(decoded["element"], decoded["atom_pos"]),
+                auto_pyrrole=(sanitize_mode != "reference"),
+            )
             stats["stage"] = "sanitize"
         else:
             mol = reconstruct_from_generated(

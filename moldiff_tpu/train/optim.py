@@ -97,6 +97,11 @@ class PlateauScheduler:
         self.best = d["best"]
         self.num_bad = d["num_bad"]
 
+    def reset(self) -> None:
+        """Forget plateau history (train CLI --reset_optim)."""
+        self.best = math.inf
+        self.num_bad = 0
+
 
 class WarmupPlateauScheduler(PlateauScheduler):
     """Gradual warmup then plateau (reference 'warmup_plateau', utils/warmup.py).
@@ -132,6 +137,10 @@ class WarmupPlateauScheduler(PlateauScheduler):
         super().load_state_dict(d)
         self.epoch = d["epoch"]
 
+    def reset(self) -> None:
+        super().reset()
+        self.epoch = 0
+
 
 class ExpMinScheduler:
     """lr <- max(lr * factor, min_lr) each step (reference
@@ -155,6 +164,9 @@ class ExpMinScheduler:
 
     def load_state_dict(self, d: dict) -> None:
         self.epoch = d["epoch"]
+
+    def reset(self) -> None:
+        self.epoch = 0
 
 
 def get_scheduler(config, base_lr: float):

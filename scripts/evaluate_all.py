@@ -184,9 +184,18 @@ def main(argv=None):
     with open(os.path.join(out_dir, "local3d.pkl"), "wb") as f:
         pickle.dump(local3d, f)
 
-    # validity (generated only: needs raw decoded outputs incl. failures)
+    # validity (generated only: needs raw decoded outputs incl. failures).
+    # Acceptance semantics must match the run that produced the pool
+    # (summary.json carries its sanitize_mode) or validity.json silently
+    # disagrees with summary.json in the same evidence file.
     if decoded:
-        validity = calculate_validity(decoded)
+        sanitize_mode = "reference"
+        summary_path = os.path.join(args.root, "summary.json")
+        if os.path.exists(summary_path):
+            with open(summary_path) as f:
+                sanitize_mode = json.load(f).get(
+                    "sanitize_mode", sanitize_mode) or sanitize_mode
+        validity = calculate_validity(decoded, sanitize_mode=sanitize_mode)
         with open(os.path.join(out_dir, "validity.json"), "w") as f:
             json.dump(validity, f, indent=2)
         logger.info(f"validity: {validity}")

@@ -45,7 +45,7 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                         size_mean=18.0, size_std=5.0, use_ema=False,
                         num_steps=None, pos_sampler=None, eta=None,
                         num_steps_gamma=None, recon_workers=None,
-                        sanitize_mode=None, add_edge=None):
+                        sanitize_mode=None, add_edge=None, commit=None):
     import yaml
 
     cfg = {
@@ -64,6 +64,7 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                if recon_workers else {}),
             **({"sanitize_mode": sanitize_mode} if sanitize_mode else {}),
             **({"add_edge": add_edge} if add_edge else {}),
+            **({"commit": commit} if commit else {}),
             # two buckets only: every bucket a drawn size lands in costs a
             # cold ~8-10 min chain compile (unguided AND guided variants) on
             # the axon tunnel; [32, 40] covers the full GEOM size range
@@ -107,6 +108,10 @@ def main(argv=None):
     ap.add_argument("--sanitize_mode", choices=["reference", "repo"],
                     default="reference",
                     help="acceptance semantics of the sanitize cascade")
+    ap.add_argument("--commit", choices=["none", "nodes", "edges", "both"],
+                    default=None,
+                    help="carry-over unmasking mode for the categorical "
+                         "chains (models/moldiff.py sample ``commit``)")
     ap.add_argument("--add_edge", choices=["distance"], default=None,
                     help="re-perceive bonds from distances (reference EDM "
                          "path) instead of the predicted bond types")
@@ -151,6 +156,8 @@ def main(argv=None):
             tag += f"_g{args.num_steps_gamma:g}"
         if args.add_edge:
             tag += "_edm"
+        if args.commit:
+            tag += f"_commit_{args.commit}"
         cfg_path = os.path.join(args.outdir, f"sample_{tag}.yml")
         write_sample_config(
             cfg_path, ckpt,
@@ -161,6 +168,7 @@ def main(argv=None):
             num_steps_gamma=args.num_steps_gamma,
             recon_workers=args.recon_workers,
             sanitize_mode=args.sanitize_mode, add_edge=args.add_edge,
+            commit=args.commit,
             size_mean=args.size_mean, size_std=args.size_std,
         )
         t0 = time.time()
@@ -196,6 +204,7 @@ def main(argv=None):
     evidence = {
         "num_mols": args.num_mols,
         "sanitize_mode": args.sanitize_mode,
+        "commit": args.commit,
         "size_mean": args.size_mean,
         "size_std": args.size_std,
         "dataset_root": args.dataset_root,

@@ -56,6 +56,18 @@ def main(argv=None):
     ap.add_argument("--override_lr", type=float, default=None,
                     help="after --resume, replace the restored LR (e.g. for "
                          "fine-tuning on new data)")
+    ap.add_argument("--reset_ema", action="store_true",
+                    help="after --resume, re-seed EMA from the restored "
+                         "params. An EMA that accumulated across a corpus "
+                         "switch mid-ladder averages weights from different "
+                         "optima and samples WORSE than raw (measured "
+                         "round 4: 0.445 vs 0.523, soak_v2x2_1k_ema.json); "
+                         "fine-tunes on new data should reset it")
+    ap.add_argument("--reset_optim", action="store_true",
+                    help="after --resume, discard the restored optimizer + "
+                         "scheduler state (fresh adamw at the config LR) — "
+                         "the clean way to start a lever fine-tune instead "
+                         "of inheriting a plateau-decayed LR ladder")
     ap.add_argument("--num_devices", type=int, default=None)
     ap.add_argument("--profile_at", type=int, default=0,
                     help="capture a jax.profiler trace for 5 steps at this iter")
@@ -86,6 +98,15 @@ def main(argv=None):
     if args.resume:
         state = trainer.load_checkpoint(args.resume)
         logger.info(f"resumed from {args.resume} at step {int(state.step)}")
+        if args.reset_ema and state.ema_params is not None:
+            state = state._replace(ema_params=jax.tree.map(
+                lambda x: np.array(x, copy=True), state.params))
+            logger.info("EMA re-seeded from restored params (--reset_ema)")
+        if args.reset_optim:
+            state = state._replace(
+                opt_state=trainer.optimizer.init(state.params))
+            trainer.scheduler.reset()
+            logger.info("optimizer + scheduler state reset (--reset_optim)")
         if args.override_lr:
             from moldiff_tpu.train.optim import set_lr
 
