@@ -510,6 +510,21 @@ def classify_decoded(decoded: dict, add_edge: Optional[str] = None,
                 auto_pyrrole=(sanitize_mode != "reference"),
             )
             stats["stage"] = "sanitize"
+        elif add_edge == "connect":
+            # connect-the-dots + geometric order perception (the reference's
+            # OpenBabel fallback, utils/reconstruct.py:392-451) — aromatic
+            # rings perceived from geometry, so the full fix cascade applies
+            from ..chem.bond_perception import mol_from_positions_ctd
+
+            perceived = mol_from_positions_ctd(
+                decoded["element"], decoded["atom_pos"])
+            bi = np.array([[b.i for b in perceived.bonds],
+                           [b.j for b in perceived.bonds]], dtype=np.int64)
+            bt = np.array([b.order for b in perceived.bonds], dtype=np.int64)
+            mol = reconstruct_from_generated(
+                decoded["element"], decoded["atom_pos"], bi, bt,
+                mode=sanitize_mode, stats=stats,
+            )
         else:
             mol = reconstruct_from_generated(
                 decoded["element"],

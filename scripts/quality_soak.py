@@ -112,7 +112,7 @@ def main(argv=None):
                     default=None,
                     help="carry-over unmasking mode for the categorical "
                          "chains (models/moldiff.py sample ``commit``)")
-    ap.add_argument("--add_edge", choices=["distance"], default=None,
+    ap.add_argument("--add_edge", choices=["distance", "connect"], default=None,
                     help="re-perceive bonds from distances (reference EDM "
                          "path) instead of the predicted bond types")
     ap.add_argument("--size_mean", type=float, default=24.923,

@@ -72,7 +72,7 @@ def main(argv=None):
     ap.add_argument("--num_steps", type=int, default=None,
                     help="respaced reverse chain on S evenly-spaced steps "
                          "(default: sample.num_steps or the full T=1000)")
-    ap.add_argument("--add_edge", choices=["distance"], default=None,
+    ap.add_argument("--add_edge", choices=["distance", "connect"], default=None,
                     help="re-perceive bonds from distances instead of the "
                          "predicted bond types (reference 'edm' path)")
     ap.add_argument("--sanitize_mode", choices=["reference", "repo"],

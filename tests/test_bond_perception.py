@@ -71,3 +71,67 @@ class TestPredict:
             pos[k + 1] = [1.5 * np.cos(t), 1.5 * np.sin(t), 0.1 * k]
         m = mol_from_positions(element, pos)
         assert m.valence_sum(0) <= 4
+
+
+class TestConnectTheDots:
+    """mol_from_positions_ctd: the first-party analogue of the reference's
+    OpenBabel connect_the_dots + PerceiveBondOrders fallback
+    (utils/reconstruct.py:392-451)."""
+
+    def test_benzene_ring_perceived_aromatic(self):
+        from moldiff_tpu.chem.bond_perception import mol_from_positions_ctd
+        from moldiff_tpu.chem.mol import AROMATIC
+
+        # ideal benzene: 6 C on a circle of radius 1.39
+        element = np.array([6] * 6)
+        pos = np.zeros((6, 3))
+        for k in range(6):
+            t = 2 * np.pi * k / 6
+            pos[k] = [1.39 * np.cos(t), 1.39 * np.sin(t), 0.0]
+        m = mol_from_positions_ctd(element, pos)
+        ring_orders = [b.order for b in m.bonds]
+        assert len(m.bonds) == 6
+        assert all(o == AROMATIC for o in ring_orders)
+
+    def test_puckered_ring_stays_single(self):
+        from moldiff_tpu.chem.bond_perception import mol_from_positions_ctd
+        from moldiff_tpu.chem.mol import AROMATIC
+
+        # cyclohexane chair: C-C 1.54, strongly non-planar
+        element = np.array([6] * 6)
+        pos = np.zeros((6, 3))
+        for k in range(6):
+            t = 2 * np.pi * k / 6
+            pos[k] = [1.54 / (2 * np.sin(np.pi / 6)) * np.cos(t),
+                      1.54 / (2 * np.sin(np.pi / 6)) * np.sin(t),
+                      0.25 * (-1) ** k]
+        m = mol_from_positions_ctd(element, pos)
+        assert all(b.order != AROMATIC for b in m.bonds)
+
+    def test_nitrile_triple_perceived(self):
+        from moldiff_tpu.chem.bond_perception import mol_from_positions_ctd
+        from moldiff_tpu.chem.bond_perception import expected_length
+
+        # H3C-C#N without the hydrogens: C-C 1.47, C#N at triple length
+        d3 = expected_length(6, 7, 3)
+        element = np.array([6, 6, 7])
+        pos = np.array([[0.0, 0, 0], [1.47, 0, 0], [1.47 + d3, 0, 0]])
+        m = mol_from_positions_ctd(element, pos)
+        orders = {(min(b.i, b.j), max(b.i, b.j)): b.order for b in m.bonds}
+        assert orders[(0, 1)] == 1
+        assert orders[(1, 2)] == 3
+
+    def test_classify_decoded_connect_path(self):
+        from moldiff_tpu.sample.pipeline import classify_decoded
+
+        element = np.array([6] * 6)
+        pos = np.zeros((6, 3))
+        for k in range(6):
+            t = 2 * np.pi * k / 6
+            pos[k] = [1.39 * np.cos(t), 1.39 * np.sin(t), 0.0]
+        entry = classify_decoded(
+            {"element": element, "atom_pos": pos}, add_edge="connect",
+            sanitize_mode="reference",
+        )
+        assert entry["pool"] == "finished"
+        assert entry["smiles"].count("c") == 6  # aromatic benzene
