@@ -183,6 +183,10 @@ def main(argv=None):
             )
             for tag in ("loss", "loss_pos", "loss_node", "loss_edge", "grad_norm"):
                 writer.add_scalar(f"train/{tag}", float(aux[tag]), it)
+            # optional loss terms (bond_len_loss, v0_ce_scale, MoE aux)
+            for tag in ("loss_len", "loss_v0ce", "loss_moe"):
+                if tag in aux:
+                    writer.add_scalar(f"train/{tag}", float(aux[tag]), it)
             writer.add_scalar("train/lr", get_lr(state.opt_state), it)
             writer.add_scalar("train/steps_per_sec", sps, it)
 
