@@ -86,6 +86,13 @@ class MolDiff:
         # accuracy 0.0-0.43 at any t). This CE supervises exactly that
         # conditional. 0.0 = reference loss.
         self.v0_ce_scale = float(config.get("v0_ce_scale", 0.0))
+        # edge-head CE defaults to the node scale; measured round-5: the
+        # EDGE copy is a NEGATIVE (the model copies its own noisy edge
+        # draws instead of inferring bonds from geometry — disconnects up,
+        # success 0.745 -> 0.573 with commit=nodes), so node-only
+        # fine-tunes set v0_ce_edge_scale: 0
+        self.v0_ce_edge_scale = float(
+            config.get("v0_ce_edge_scale", self.v0_ce_scale))
 
         diff = config["diff"]
         self.num_timesteps = diff["num_timesteps"]
@@ -321,17 +328,22 @@ class MolDiff:
             )
             loss_edge = masked_mean(kl_edge, halfedge_mask) * 100.0 * self.edge_loss_scale
 
-            if self.v0_ce_scale > 0:
-                ce_node = -jnp.take_along_axis(
-                    log_node_recon, node_type[..., None], axis=-1
-                )[..., 0]
-                ce_edge = -jnp.take_along_axis(
-                    log_edge_recon, halfedge_type[..., None], axis=-1
-                )[..., 0]
-                losses["loss_v0ce"] = self.v0_ce_scale * (
-                    masked_mean(ce_node, node_mask)
-                    + masked_mean(ce_edge, halfedge_mask)
-                )
+            if self.v0_ce_scale > 0 or self.v0_ce_edge_scale > 0:
+                loss_v0ce = 0.0
+                if self.v0_ce_scale > 0:
+                    ce_node = -jnp.take_along_axis(
+                        log_node_recon, node_type[..., None], axis=-1
+                    )[..., 0]
+                    loss_v0ce = loss_v0ce + self.v0_ce_scale * masked_mean(
+                        ce_node, node_mask)
+                if self.v0_ce_edge_scale > 0:
+                    ce_edge = -jnp.take_along_axis(
+                        log_edge_recon, halfedge_type[..., None], axis=-1
+                    )[..., 0]
+                    loss_v0ce = loss_v0ce + (
+                        self.v0_ce_edge_scale
+                        * masked_mean(ce_edge, halfedge_mask))
+                losses["loss_v0ce"] = loss_v0ce
         else:
             # continuous: MSE to the scaled one-hots x30
             # (reference model.py:186-189)
