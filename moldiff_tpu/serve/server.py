@@ -308,6 +308,7 @@ def build_service_from_checkpoint(
     pos_sampler: str = "ddpm",
     eta: float = 0.0,
     batch_window_ms: float = 0.0,
+    commit: str = "nodes",
 ) -> SamplerService:
     """Checkpoint -> warm-able service. Mirrors the sample CLI's model
     construction (scripts/sample_drug3d.py; reference
@@ -366,6 +367,11 @@ def build_service_from_checkpoint(
         guidance_interval=guidance_interval,
         num_steps=num_steps,
         pos_sampler=pos_sampler, eta=eta,
+        # serving default: the commit sampler (carry-over unmasking) — the
+        # round-5 measured winner (success 0.523 -> 0.745,
+        # results/gate_r5_commit_nodes.json); pass 'none' for the
+        # reference-exact recursive posterior
+        commit=commit,
         **kw,
     )
     return SamplerService(sampler, params,

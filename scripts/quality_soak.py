@@ -210,6 +210,15 @@ def main(argv=None):
         "dataset_root": args.dataset_root,
         "runs": {},
     }
+    def _wilson(k, n, z=1.96):
+        if n == 0:
+            return (0.0, 0.0)
+        p = k / n
+        d = 1 + z * z / n
+        c = p + z * z / (2 * n)
+        h = z * ((p * (1 - p) + z * z / (4 * n)) / n) ** 0.5
+        return ((c - h) / d, (c + h) / d)
+
     for name, out_dir in results.items():
         rec = {"out_dir": out_dir}
         for fname in ("summary.json",):
@@ -222,6 +231,9 @@ def main(argv=None):
             if os.path.exists(path):
                 with open(path) as f:
                     rec.update(json.load(f))
+        if "num_finished" in rec and "num_failed" in rec:
+            k, n = rec["num_finished"], rec["num_finished"] + rec["num_failed"]
+            rec["success_wilson95"] = [round(x, 5) for x in _wilson(k, n)]
         if ref_metrics:
             rec["jsd_vs_test"] = compare(
                 ref_metrics, load_metrics_dir(os.path.join(out_dir, "metrics"))
