@@ -136,3 +136,52 @@ class TestCommitSampler:
         node_mask = jnp.ones((2, 6), dtype=jnp.float32)
         with pytest.raises(ValueError):
             model.sample({}, node_mask, jax.random.PRNGKey(0), commit="bogus")
+
+
+class TestCommitComposition:
+    @pytest.mark.slow
+    def test_guided_chunked_matches_single_scan(self):
+        """commit composes with guidance, and the chunked chain stays
+        bitwise-equal to the single lax.scan (same key, same commit)."""
+        from moldiff_tpu.models.bond_predictor import BondPredictor
+
+        diff = {
+            "num_timesteps": 8, "time_dim": 4,
+            "categorical_space": "discrete",
+            "diff_pos": {"beta_schedule": "advance", "scale_start": 0.9999,
+                         "scale_end": 0.0001, "width": 3},
+            "diff_atom": {"init_prob": "tomask", "beta_schedule": "advance",
+                          "scale_start": 0.9999, "scale_end": 0.0001,
+                          "width": 3},
+            "diff_bond": {"init_prob": "absorb", "beta_schedule": "advance",
+                          "scale_start": 0.9999, "scale_end": 0.0001,
+                          "width": 3},
+        }
+        model = MolDiff(Config({
+            "node_dim": 16, "edge_dim": 8,
+            "denoiser": {"num_blocks": 1, "cutoff": 10, "use_gate": True,
+                         "remat": False},
+            "diff": diff,
+        }), 8, 6)
+        params = model.init_params(jax.random.key(0))
+        bp = BondPredictor(Config({
+            "node_dim": 16, "edge_dim": 8,
+            "encoder": {"backbone": "NodeEdgeNet", "num_blocks": 1,
+                        "cutoff": 10, "use_gate": True, "update_edge": True,
+                        "update_pos": False, "remat": False},
+            "diff": {k: diff[k] for k in
+                     ("num_timesteps", "time_dim", "categorical_space",
+                      "diff_pos", "diff_atom")},
+        }), num_node_types=8, num_edge_types=5)
+        bpp = bp.init_params(jax.random.key(1))
+        nm = jnp.ones((4, 8), jnp.float32)
+        kw = dict(guidance=("uncertainty", 1e-4), bond_predictor=(bp, bpp),
+                  commit="nodes")
+        r1 = model.sample(params, nm, jax.random.PRNGKey(2), **kw)
+        r2 = model.sample_chunked(params, nm, jax.random.PRNGKey(2),
+                                  chunk_size=4, **kw)
+        np.testing.assert_allclose(np.asarray(r1.pred_pos),
+                                   np.asarray(r2.pred_pos), atol=1e-5)
+        np.testing.assert_array_equal(
+            np.asarray(r1.pred_node).argmax(-1),
+            np.asarray(r2.pred_node).argmax(-1))
