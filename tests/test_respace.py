@@ -261,3 +261,28 @@ class TestSamplerPipeline:
         assert len(decoded) == 4
         for d in decoded:
             assert np.isfinite(d["atom_pos"]).all()
+
+
+def test_respaced_alphas_bar_matches_strided_original():
+    """The commit gate (models/moldiff.py) reads transition.alphas_bar; on a
+    respaced chain the composed-beta cumprod must equal the ORIGINAL chain's
+    alpha_bar at the kept timesteps (the semigroup property in the identity
+    coefficient)."""
+    import numpy as np
+
+    from moldiff_tpu.ops.categorical import CategoricalTransition
+    from moldiff_tpu.ops.respace import respace_timesteps, respaced_betas
+    from moldiff_tpu.ops.schedules import get_beta_schedule
+
+    betas = get_beta_schedule(
+        "advance", 1000, scale_start=0.9999, scale_end=0.0001, width=3)
+    full = CategoricalTransition(np.asarray(betas), 8, init_prob="tomask")
+    subset = respace_timesteps(1000, 100, 1.0)
+    sub = CategoricalTransition(
+        np.asarray(respaced_betas(np.asarray(betas), subset)), 8,
+        init_prob="tomask")
+    np.testing.assert_allclose(
+        np.asarray(sub.alphas_bar),
+        np.asarray(full.alphas_bar)[np.asarray(subset)],
+        rtol=1e-5,
+    )
