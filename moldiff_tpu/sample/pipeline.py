@@ -51,6 +51,7 @@ class MolSampler:
         recon_workers: int = 0,
         sanitize_mode: str = "reference",
         commit: str = "none",
+        edge_guidance: float = 0.0,
     ):
         self.model = model
         self.featurizer = featurizer
@@ -93,6 +94,13 @@ class MolSampler:
         # (models/moldiff.py sample ``commit``): 'none' | 'nodes' | 'edges'
         # | 'both'. 'none' is reference-exact.
         self.commit = commit
+        # class-space bond guidance: mix the bond predictor's log-probs into
+        # the edge v0 prediction at every step, scaled by this factor
+        # (models/moldiff.py sample ``edge_guidance``). 0 = off
+        # (reference-exact); > 0 requires ``bond_predictor``.
+        self.edge_guidance = float(edge_guidance)
+        if self.edge_guidance > 0 and bond_predictor is None:
+            raise ValueError("edge_guidance requires a bond_predictor")
         # host-side reconstruction workers: 0/1 = serial. The device chain
         # is ~1.25 ms/mol of host sanitize work away from the pool; at
         # respaced (~127 mols/s/chip) or multi-chip throughput the serial
@@ -151,6 +159,7 @@ class MolSampler:
                         pos_sampler=self.pos_sampler, eta=self.eta,
                         respace_gamma=self.respace_gamma,
                         commit=self.commit,
+                        edge_guidance=self.edge_guidance,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -178,6 +187,7 @@ class MolSampler:
                         pos_sampler=self.pos_sampler, eta=self.eta,
                         respace_gamma=self.respace_gamma,
                         commit=self.commit,
+                        edge_guidance=self.edge_guidance,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -202,6 +212,7 @@ class MolSampler:
                     pos_sampler=self.pos_sampler, eta=self.eta,
                     respace_gamma=self.respace_gamma,
                     commit=self.commit,
+                    edge_guidance=self.edge_guidance,
                 )
                 return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 

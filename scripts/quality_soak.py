@@ -24,6 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def newest_ckpt(logdir: str, prefix: str) -> str:
+    # a direct checkpoint path (the committed distribution ckpts, e.g.
+    # ckpts/flagship_v2.ckpt) bypasses the run-dir glob — training run dirs
+    # (logs*/) are gitignored and do not survive session resets
+    direct = prefix if os.path.isabs(prefix) else os.path.join(logdir, prefix)
+    if prefix.endswith(".ckpt") and os.path.exists(direct):
+        return direct
+
     def key(p):
         # mtime first; iteration number breaks ties. Non-numeric names
         # (best.ckpt, final.ckpt) fall back to mtime-only ordering.
@@ -45,7 +52,8 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                         size_mean=18.0, size_std=5.0, use_ema=False,
                         num_steps=None, pos_sampler=None, eta=None,
                         num_steps_gamma=None, recon_workers=None,
-                        sanitize_mode=None, add_edge=None, commit=None):
+                        sanitize_mode=None, add_edge=None, commit=None,
+                        edge_guidance=None):
     import yaml
 
     cfg = {
@@ -65,6 +73,8 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
             **({"sanitize_mode": sanitize_mode} if sanitize_mode else {}),
             **({"add_edge": add_edge} if add_edge else {}),
             **({"commit": commit} if commit else {}),
+            **({"edge_guidance": float(edge_guidance)}
+               if edge_guidance else {}),
             # two buckets only: every bucket a drawn size lands in costs a
             # cold ~8-10 min chain compile (unguided AND guided variants) on
             # the axon tunnel; [32, 40] covers the full GEOM size range
@@ -75,7 +85,8 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
     }
     if bp_ckpt:
         cfg["bond_predictor"] = bp_ckpt
-        cfg["sample"]["guidance"] = list(guidance or ("uncertainty", 1e-4))
+        if guidance:
+            cfg["sample"]["guidance"] = list(guidance)
     with open(path, "w") as f:
         yaml.safe_dump(cfg, f)
     return path
@@ -115,6 +126,10 @@ def main(argv=None):
     ap.add_argument("--add_edge", choices=["distance", "connect"], default=None,
                     help="re-perceive bonds from distances (reference EDM "
                          "path) instead of the predicted bond types")
+    ap.add_argument("--edge_guidance", type=float, default=None,
+                    help="class-space bond guidance scale: mix the bond "
+                         "predictor's log-probs into the edge v0 inside the "
+                         "chain (works on the unguided leg too)")
     ap.add_argument("--size_mean", type=float, default=24.923,
                     help="sampled-size mean (GEOM-Drug stats, reference "
                          "utils/transforms.py:128)")
@@ -131,7 +146,7 @@ def main(argv=None):
     ckpt = newest_ckpt(args.logdir, args.denoiser_prefix)
     print(f"[soak] denoiser ckpt: {ckpt}")
     bp_ckpt = None
-    if not args.no_guided:
+    if not args.no_guided or args.edge_guidance:
         try:
             bp_ckpt = newest_ckpt(args.logdir, args.bp_prefix)
             print(f"[soak] bond-predictor ckpt: {bp_ckpt}")
@@ -158,10 +173,13 @@ def main(argv=None):
             tag += "_edm"
         if args.commit:
             tag += f"_commit_{args.commit}"
+        if args.edge_guidance:
+            tag += f"_eg{args.edge_guidance:g}"
         cfg_path = os.path.join(args.outdir, f"sample_{tag}.yml")
         write_sample_config(
             cfg_path, ckpt,
-            bp_ckpt=bp_ckpt if guidance else None, guidance=guidance,
+            bp_ckpt=bp_ckpt if (guidance or args.edge_guidance) else None,
+            guidance=guidance, edge_guidance=args.edge_guidance,
             num_mols=args.num_mols, batch_size=args.batch_size,
             use_ema=args.use_ema, num_steps=args.num_steps,
             pos_sampler=args.pos_sampler, eta=args.eta,

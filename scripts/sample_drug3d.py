@@ -85,6 +85,11 @@ def main(argv=None):
                     help="carry-over unmasking for the categorical chains "
                          "(default: sample.commit or 'none' = reference-"
                          "exact recursive posterior)")
+    ap.add_argument("--edge_guidance", type=float, default=None,
+                    help="class-space bond guidance: mix the bond "
+                         "predictor's log-probs into the edge v0 prediction "
+                         "with this scale (default: sample.edge_guidance or "
+                         "0 = off; requires a bond_predictor in the config)")
     ap.add_argument("--recon_workers", type=int, default=None,
                     help="parallel host-side reconstruction workers "
                          "(0/1 = serial; default from sample.recon_workers)")
@@ -225,10 +230,18 @@ def main(argv=None):
     pos_sampler = str(config.sample.get("pos_sampler", "ddpm") or "ddpm")
     eta = float(config.sample.get("eta", 0.0) or 0.0)
     respace_gamma = float(config.sample.get("num_steps_gamma", 1.0) or 1.0)
-    # guided chains run denoiser + bond-predictor grad per step; chunk them
+    # class-space bond guidance (models/moldiff.py sample ``edge_guidance``):
+    # one extra bond-predictor FORWARD per step, no gradient
+    edge_guidance = (
+        args.edge_guidance
+        if args.edge_guidance is not None
+        else float(config.sample.get("edge_guidance", 0.0) or 0.0)
+    )
+    # guided chains run denoiser + bond-predictor work per step; chunk them
     # so one device execution stays under runtime deadlines
     chunk_steps = None
-    if guidance is not None and model.categorical_space == "discrete":
+    if (guidance is not None or edge_guidance > 0) and \
+            model.categorical_space == "discrete":
         T = num_steps or model.num_timesteps
         chunk_steps = next(c for c in (100, 50, 25, 20, 10, 5, 1) if T % c == 0)
     sampler = MolSampler(
@@ -260,6 +273,7 @@ def main(argv=None):
         # reference-exact recursive posterior
         commit=args.commit
         or str(config.sample.get("commit", "none") or "none"),
+        edge_guidance=edge_guidance,
         **size_kw,
     )
     key = jax.random.key(config.sample.seed)
@@ -362,6 +376,8 @@ def main(argv=None):
         "success_rate": success,
         "wall_s": dt,
         "sanitize_mode": sampler.sanitize_mode,
+        "commit": sampler.commit,
+        "edge_guidance": sampler.edge_guidance,
         "accept_stage_counts": dict(stage_counts),
         "failure_reason_counts": dict(fail_counts),
         "aromatic_mol_fraction": n_arom / max(n_fin, 1),
