@@ -437,6 +437,7 @@ class MolDiff:
         respace_gamma: float = 1.0,
         commit: str = "none",
         edge_guidance: float = 0.0,
+        edge_guidance_tmax: Optional[int] = None,
     ) -> SampleResult:
         """Full T-step ancestral reverse sampler as one lax.scan.
 
@@ -483,6 +484,16 @@ class MolDiff:
         consistency. Mask classes (absent from the predictor's 5-way
         output) are padded at the uniform level -log(5): neither boosted
         nor killed. Requires ``bond_predictor``.
+
+        ``edge_guidance_tmax``: apply edge guidance only at ORIGINAL
+        timesteps t < tmax (the late, near-clean-geometry end of the
+        chain). At high noise the predictor can only output the bond
+        marginal (~93% 'none' at GEOM sizes), and the recursive posterior
+        COMPOUNDS a per-step bias across steps — early mixing therefore
+        over-sparsifies the graph; late in the chain the positions pin the
+        bond geometry and the predictor's logits carry the ring-consistent
+        signal (connect-the-dots regime evidence, results/
+        gate_r5_connect.json). None = every step.
         """
         b, n = node_mask.shape
         e = graph_ops.num_halfedges(n)
@@ -519,6 +530,7 @@ class MolDiff:
             transitions=transitions, t_map=t_map,
             pos_sampler=pos_sampler, eta=eta, commit=commit,
             edge_guidance=edge_guidance,
+            edge_guidance_tmax=edge_guidance_tmax,
         )
         committed = self._commit_init(b, n, e)
         init = (pos, h_node, h_halfedge, log_node, log_halfedge, committed,
@@ -548,7 +560,8 @@ class MolDiff:
                         save_traj: bool, guidance_interval: int = 1,
                         transitions=None, t_map=None,
                         pos_sampler: str = "ddpm", eta: float = 0.0,
-                        commit: str = "none", edge_guidance: float = 0.0):
+                        commit: str = "none", edge_guidance: float = 0.0,
+                        edge_guidance_tmax: Optional[int] = None):
         """One reverse step of the discrete sampler (shared by the single
         lax.scan and the chunked variant). Reference model.py:271-367.
 
@@ -648,8 +661,16 @@ class MolDiff:
                         bp_logp, ((0, 0), (0, 0), (0, pad)),
                         constant_values=-float(np.log(bp_logits.shape[-1])),
                     )
+                mix = edge_guidance * bp_logp
+                if edge_guidance_tmax is not None:
+                    # late-chain gating: the predictor is only informative
+                    # once positions are near-clean; early mixing compounds
+                    # its high-noise 'none' marginal through the recursion
+                    mix = jnp.where(
+                        (t_model < int(edge_guidance_tmax))[:, None, None],
+                        mix, 0.0)
                 log_edge_recon = jax.nn.log_softmax(
-                    log_edge_recon + edge_guidance * bp_logp, axis=-1)
+                    log_edge_recon + mix, axis=-1)
                 preds = MolDiffPreds(
                     preds.pred_node, preds.pred_pos, log_edge_recon)
             if commit_edges:
@@ -749,6 +770,7 @@ class MolDiff:
         respace_gamma: float = 1.0,
         commit: str = "none",
         edge_guidance: float = 0.0,
+        edge_guidance_tmax: Optional[int] = None,
     ) -> SampleResult:
         """The T-step reverse chain as T/chunk_size sequential jitted scans
         with the carry threaded on host.
@@ -796,7 +818,7 @@ class MolDiff:
         cache_key = (b, n, chunk_size, gui_type, bond_predictor is not None,
                      guidance_interval, save_traj, num_steps,
                      pos_sampler, float(eta), float(respace_gamma), commit,
-                     float(edge_guidance))
+                     float(edge_guidance), edge_guidance_tmax)
         if not hasattr(self, "_chunk_fns"):
             self._chunk_fns = {}
         if cache_key not in self._chunk_fns:
@@ -810,6 +832,7 @@ class MolDiff:
                     transitions=transitions, t_map=t_map,
                     pos_sampler=pos_sampler, eta=eta, commit=commit,
                     edge_guidance=edge_guidance,
+                    edge_guidance_tmax=edge_guidance_tmax,
                 )
                 return jax.lax.scan(body, carry, steps)
 

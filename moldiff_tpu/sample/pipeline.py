@@ -52,6 +52,7 @@ class MolSampler:
         sanitize_mode: str = "reference",
         commit: str = "none",
         edge_guidance: float = 0.0,
+        edge_guidance_tmax: Optional[int] = None,
     ):
         self.model = model
         self.featurizer = featurizer
@@ -99,6 +100,10 @@ class MolSampler:
         # (models/moldiff.py sample ``edge_guidance``). 0 = off
         # (reference-exact); > 0 requires ``bond_predictor``.
         self.edge_guidance = float(edge_guidance)
+        # apply edge guidance only at original timesteps t < tmax (late,
+        # near-clean-geometry end of the chain); None = every step
+        self.edge_guidance_tmax = (
+            int(edge_guidance_tmax) if edge_guidance_tmax else None)
         if self.edge_guidance > 0 and bond_predictor is None:
             raise ValueError("edge_guidance requires a bond_predictor")
         # host-side reconstruction workers: 0/1 = serial. The device chain
@@ -160,6 +165,7 @@ class MolSampler:
                         respace_gamma=self.respace_gamma,
                         commit=self.commit,
                         edge_guidance=self.edge_guidance,
+                        edge_guidance_tmax=self.edge_guidance_tmax,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -188,6 +194,7 @@ class MolSampler:
                         respace_gamma=self.respace_gamma,
                         commit=self.commit,
                         edge_guidance=self.edge_guidance,
+                        edge_guidance_tmax=self.edge_guidance_tmax,
                     )
                     return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 
@@ -213,6 +220,7 @@ class MolSampler:
                     respace_gamma=self.respace_gamma,
                     commit=self.commit,
                     edge_guidance=self.edge_guidance,
+                    edge_guidance_tmax=self.edge_guidance_tmax,
                 )
                 return res.pred_node, res.pred_pos, res.pred_halfedge, res.traj
 

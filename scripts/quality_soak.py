@@ -53,7 +53,7 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
                         num_steps=None, pos_sampler=None, eta=None,
                         num_steps_gamma=None, recon_workers=None,
                         sanitize_mode=None, add_edge=None, commit=None,
-                        edge_guidance=None):
+                        edge_guidance=None, edge_guidance_tmax=None):
     import yaml
 
     cfg = {
@@ -75,6 +75,8 @@ def write_sample_config(path, ckpt, bp_ckpt=None, guidance=None,
             **({"commit": commit} if commit else {}),
             **({"edge_guidance": float(edge_guidance)}
                if edge_guidance else {}),
+            **({"edge_guidance_tmax": int(edge_guidance_tmax)}
+               if edge_guidance_tmax else {}),
             # two buckets only: every bucket a drawn size lands in costs a
             # cold ~8-10 min chain compile (unguided AND guided variants) on
             # the axon tunnel; [32, 40] covers the full GEOM size range
@@ -130,6 +132,9 @@ def main(argv=None):
                     help="class-space bond guidance scale: mix the bond "
                          "predictor's log-probs into the edge v0 inside the "
                          "chain (works on the unguided leg too)")
+    ap.add_argument("--edge_guidance_tmax", type=int, default=None,
+                    help="apply edge guidance only at original timesteps "
+                         "t < tmax (late chain); default every step")
     ap.add_argument("--size_mean", type=float, default=24.923,
                     help="sampled-size mean (GEOM-Drug stats, reference "
                          "utils/transforms.py:128)")
@@ -175,11 +180,14 @@ def main(argv=None):
             tag += f"_commit_{args.commit}"
         if args.edge_guidance:
             tag += f"_eg{args.edge_guidance:g}"
+            if args.edge_guidance_tmax:
+                tag += f"t{args.edge_guidance_tmax}"
         cfg_path = os.path.join(args.outdir, f"sample_{tag}.yml")
         write_sample_config(
             cfg_path, ckpt,
             bp_ckpt=bp_ckpt if (guidance or args.edge_guidance) else None,
             guidance=guidance, edge_guidance=args.edge_guidance,
+            edge_guidance_tmax=args.edge_guidance_tmax,
             num_mols=args.num_mols, batch_size=args.batch_size,
             use_ema=args.use_ema, num_steps=args.num_steps,
             pos_sampler=args.pos_sampler, eta=args.eta,

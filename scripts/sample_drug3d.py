@@ -90,6 +90,11 @@ def main(argv=None):
                          "predictor's log-probs into the edge v0 prediction "
                          "with this scale (default: sample.edge_guidance or "
                          "0 = off; requires a bond_predictor in the config)")
+    ap.add_argument("--edge_guidance_tmax", type=int, default=None,
+                    help="apply edge guidance only at original timesteps "
+                         "t < tmax — the late, near-clean-geometry end of "
+                         "the chain (default: sample.edge_guidance_tmax or "
+                         "every step)")
     ap.add_argument("--recon_workers", type=int, default=None,
                     help="parallel host-side reconstruction workers "
                          "(0/1 = serial; default from sample.recon_workers)")
@@ -237,6 +242,11 @@ def main(argv=None):
         if args.edge_guidance is not None
         else float(config.sample.get("edge_guidance", 0.0) or 0.0)
     )
+    edge_guidance_tmax = (
+        args.edge_guidance_tmax
+        if args.edge_guidance_tmax is not None
+        else config.sample.get("edge_guidance_tmax")
+    )
     # guided chains run denoiser + bond-predictor work per step; chunk them
     # so one device execution stays under runtime deadlines
     chunk_steps = None
@@ -274,6 +284,7 @@ def main(argv=None):
         commit=args.commit
         or str(config.sample.get("commit", "none") or "none"),
         edge_guidance=edge_guidance,
+        edge_guidance_tmax=edge_guidance_tmax,
         **size_kw,
     )
     key = jax.random.key(config.sample.seed)
@@ -378,6 +389,7 @@ def main(argv=None):
         "sanitize_mode": sampler.sanitize_mode,
         "commit": sampler.commit,
         "edge_guidance": sampler.edge_guidance,
+        "edge_guidance_tmax": sampler.edge_guidance_tmax,
         "accept_stage_counts": dict(stage_counts),
         "failure_reason_counts": dict(fail_counts),
         "aromatic_mol_fraction": n_arom / max(n_fin, 1),

@@ -183,6 +183,35 @@ class TestEdgeGuidance:
             np.asarray(r1.pred_node).argmax(-1),
             np.asarray(r2.pred_node).argmax(-1))
 
+    def test_tmax_zero_matches_unguided_draws(self):
+        # tmax=0 gates guidance off at every step: the drawn streams must
+        # equal the unguided chain (same keys; log_softmax renorm of an
+        # already-normalized v0 is a no-op up to float rounding)
+        model = _model()
+        nm = jnp.ones((8, 10), jnp.float32)
+        base = model.sample({}, nm, jax.random.PRNGKey(11))
+        gated = model.sample({}, nm, jax.random.PRNGKey(11),
+                             bond_predictor=(_AromaticBP(), {}),
+                             edge_guidance=8.0, edge_guidance_tmax=0)
+        np.testing.assert_array_equal(
+            np.asarray(base.pred_halfedge).argmax(-1),
+            np.asarray(gated.pred_halfedge).argmax(-1))
+        np.testing.assert_array_equal(
+            np.asarray(base.pred_node).argmax(-1),
+            np.asarray(gated.pred_node).argmax(-1))
+
+    def test_tmax_late_gate_still_steers(self):
+        # guidance restricted to the last quarter of the chain must still
+        # hand the (absorb-prior) edge stream to the bp's class: reveals
+        # concentrate at low t where abar transitions
+        model = _model(T=32)
+        nm = jnp.ones((8, 10), jnp.float32)
+        res = model.sample({}, nm, jax.random.PRNGKey(13),
+                           bond_predictor=(_AromaticBP(), {}),
+                           edge_guidance=8.0, edge_guidance_tmax=8)
+        f = _edge_fracs(res)
+        assert f[4] > 0.30, f
+
     def test_pipeline_rejects_missing_bp(self):
         from moldiff_tpu.data.featurize import MolFeaturizer
         from moldiff_tpu.sample.pipeline import MolSampler
