@@ -73,6 +73,21 @@ class TestRound5Evidence:
             only_ref = len(only_ref)
         assert only_ref == 0
 
+    def test_edge_guidance_dial_claims(self):
+        """Session-2 claims: edge guidance trades success for aromatic
+        fidelity + connectivity, and late-gating (tmax=300) is
+        statistically identical to always-on (segment schedule freezes
+        the early chain)."""
+        champ = _load("gate_r5_commit_nodes.json")["runs"]["unguided"]
+        eg1 = next(iter(_load("gate_r5_eg1.json")["runs"].values()))
+        egt = next(iter(_load("gate_r5_eg1t300.json")["runs"].values()))
+        for r in (eg1, egt):
+            assert r["success_rate"] < champ["success_rate"]      # dial, not win
+            assert r["connectivity"] > champ["connectivity"]      # disconnects fixed
+            assert (r["aromatic_mol_fraction"]
+                    > champ["aromatic_mol_fraction"] + 0.2)       # corpus-level
+        assert abs(eg1["success_rate"] - egt["success_rate"]) < 0.04
+
     def test_flagship_config_defaults_commit(self):
         import yaml
 
